@@ -1,0 +1,227 @@
+"""Neural building blocks (Flax linen, NHWC only).
+
+One implementation per block — the reference maintained twin copies
+(qpwcnet/core/layers.py Keras Layers vs non_layers.py plain functors,
+split only because tfmot QAT couldn't transform nested custom layers;
+qpwcnet/app/quantize/README.md). Since quantization here is module
+injection (qpwcnet_tpu.quantize), a single implementation covers both
+roles. Where the twins differ, the **non_layers** variants are authoritative
+because the model builders import those (qpwcnet/core/pwcnet.py:7-17).
+
+Numerics preserved from the reference (SURVEY.md §7 "reproduce the
+numerics that matter"):
+  * cost volume: channel-mean of products at 81 offsets + leaky_relu(0.1);
+  * OptFlow raw output multiplied by sqrt(h² + w²) of its input resolution
+    (non_layers.py:262) — flow is regressed in normalized units;
+  * OptFlow includes the extra 1×1 Mish conv of the non_layers variant
+    (non_layers.py:238-241);
+  * BatchNorm with Keras defaults (momentum .99, eps 1e-3), kept in f32;
+  * DownConv/UpConv kernel l2 regularization gamma=4e-6 (layers.py:12) is
+    applied by the training loss over params named 'kernel' in these
+    blocks (see qpwcnet_tpu.train.losses.l2_regularization).
+
+Compute dtype: blocks accept `dtype` (e.g. jnp.bfloat16) for MXU-friendly
+mixed precision; params stay float32; BatchNorm statistics and the OptFlow
+output scale are always f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from qpwcnet_tpu.ops.activations import mish
+from qpwcnet_tpu.ops.cost_volume import cost_volume
+from qpwcnet_tpu.ops.warp import backward_warp
+
+# Reference l2 coefficient for DownConv/UpConv kernels (layers.py:12).
+L2_GAMMA = 4e-6
+
+
+class SepConv(nn.Module):
+    """Keras SeparableConv2D parity: depthwise kxk (no bias) + pointwise 1x1
+    (bias) + activation."""
+
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        x = nn.Conv(
+            features=c_in,
+            kernel_size=(self.kernel, self.kernel),
+            feature_group_count=c_in,
+            use_bias=False,
+            padding="SAME",
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        return mish(x)
+
+
+class DownConv(nn.Module):
+    """Encoder stage: Conv(3x3,s2,Mish) -> Conv(3x3,s1,Mish) ->
+    Conv(3x3,s1,Mish) (layers.py:498-571). The encoder runs with
+    use_normalizer=False (pwcnet.py:146) — AGC replaces batchnorm."""
+
+    features: int
+    use_normalizer: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for name, stride in (("conv_a", 2), ("conv_aa", 1), ("conv_b", 1)):
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(3, 3),
+                strides=(stride, stride),
+                padding="SAME",
+                dtype=self.dtype,
+                name=name,
+            )(x)
+            x = mish(x)
+            if self.use_normalizer:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.99,
+                    epsilon=1e-3,
+                    dtype=jnp.float32,
+                    name=f"norm_{name[5:]}",
+                )(x)
+        return x
+
+
+class UpConv(nn.Module):
+    """Decoder stage: ConvTranspose(4x4, s2, Mish) (layers.py:255-282)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding="SAME",
+            dtype=self.dtype,
+            name="conv_up",
+        )(x)
+        return mish(x)
+
+
+class OptFlow(nn.Module):
+    """Flow-regression head (non_layers.py:213-273): 4 SeparableConvs
+    (128/64/32/16, Mish) -> 1x1 Conv Mish -> BatchNorm -> 3x3 Conv (2ch,
+    no bias), multiplied by sqrt(h² + w²) of the input resolution."""
+
+    filters: Sequence[int] = (128, 64, 32, 16)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        scale = float(h * h + w * w) ** 0.5
+
+        for i, f in enumerate(self.filters):
+            x = SepConv(f, dtype=self.dtype, name=f"of_feat_{i}")(x)
+        x = nn.Conv(
+            features=self.filters[-1],
+            kernel_size=(1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv1x1",
+        )(x)
+        x = mish(x)
+        # BN + flow conv in f32 for numerical parity under bf16 compute.
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.99,
+            epsilon=1e-3,
+            dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        x = nn.Conv(
+            features=2,
+            kernel_size=(3, 3),
+            use_bias=False,
+            padding="SAME",
+            dtype=jnp.float32,
+            name="of_flow",
+        )(x)
+        return scale * x
+
+
+class FlowBlock(nn.Module):
+    """Coarsest-level flow estimator (layers.py:405-440):
+    concat[cost_volume(prv, nxt), prv, nxt] -> OptFlow."""
+
+    dtype: Any = jnp.float32
+    cv_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, prv, nxt, train: bool = False):
+        cost = cost_volume(prv, nxt, impl=self.cv_impl)
+        feat = jnp.concatenate([cost, prv, nxt], axis=-1)
+        return OptFlow(dtype=self.dtype, name="flow")(feat, train=train)
+
+
+class UpFlowBlock(nn.Module):
+    """Per-level flow refinement (layers.py:443-495): warp nxt by the
+    upsampled flow, correlate against prv, concat[cost, prv, flo] ->
+    OptFlow. Note: the warped features are NOT concatenated (layers.py:482)
+    — only cost, prv, flo."""
+
+    dtype: Any = jnp.float32
+    cv_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, prv, nxt, flo, train: bool = False):
+        nxt_w = backward_warp(nxt, flo.astype(jnp.float32))
+        cost = cost_volume(prv, nxt_w, impl=self.cv_impl)
+        feat = jnp.concatenate(
+            [cost, prv, flo.astype(prv.dtype)], axis=-1
+        )
+        return OptFlow(dtype=self.dtype, name="flow")(feat, train=train)
+
+
+class FrameInterpolate(nn.Module):
+    """Middle-frame synthesis head (layers.py:356-402): warp nxt by
+    0.5*flo_01 and prv by 0.5*flo_10, concat [prv_w, nxt_w, flo_01, flo_10
+    (+img_u if up)], SeparableConv(64, Mish) -> 1x1 Conv -> 3ch."""
+
+    up: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, prv, nxt, flo_01, flo_10, img_u=None):
+        flo_01f = flo_01.astype(jnp.float32)
+        flo_10f = flo_10.astype(jnp.float32)
+        nxt_w = backward_warp(nxt, 0.5 * flo_01f)
+        prv_w = backward_warp(prv, 0.5 * flo_10f)
+
+        feats = [prv_w, nxt_w, flo_01f.astype(prv.dtype),
+                 flo_10f.astype(prv.dtype)]
+        if self.up:
+            assert img_u is not None
+            feats.append(img_u.astype(prv.dtype))
+        x = jnp.concatenate(feats, axis=-1)
+        x = SepConv(64, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(
+            features=3,
+            kernel_size=(1, 1),
+            dtype=self.dtype,
+            name="conv2",
+        )(x)
+        return x.astype(jnp.float32)

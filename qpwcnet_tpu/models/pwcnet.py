@@ -1,0 +1,250 @@
+"""PWC-Net-family model builders (Flax linen, NHWC).
+
+Ports of qpwcnet/core/pwcnet.py:
+  * :class:`Encoder`   — encoder()   (pwcnet.py:134-168)
+  * :class:`Decoder`   — decoder()   (pwcnet.py:171-207)
+  * :class:`Flower`    — flower() / Flower (pwcnet.py:28-67,
+                          non_layers.py:452-499)
+  * :class:`PWCFlowNet`      — build_flower()       (pwcnet.py:210-244)
+  * :class:`PWCInterpolator` — build_interpolator() (pwcnet.py:247-287)
+
+Structural parity notes:
+  * The encoder/decoder stages are SHARED between the two frames (siamese;
+    pwcnet.py:152-162).
+  * The interpolator reuses ONE Flower block for both flow directions
+    (pwcnet.py:270-280), with the argument orders of the reference
+    preserved exactly: flows_01 <- Flower(enc_nxt, enc_prv, decs_nxt,
+    decs_prv), flows_10 <- Flower(enc_prv, enc_nxt, decs_prv, decs_nxt).
+  * Weight transfer between PWCFlowNet and PWCInterpolator is by param
+    subtree ('encoder', 'decoder', 'flower'), replacing the reference's
+    fragile by-name HDF5 matching (train/util.py:23-54); see
+    qpwcnet_tpu.train.checkpoint.transfer_params.
+  * Upsample scale: every inter-level flow upsample doubles magnitude
+    (scale=2.0) INCLUDING the final one — deliberately fixing the
+    reference's silent `sacle=2.0` kwarg typo (non_layers.py:468) whose
+    functional twin (pwcnet.py:60) uses the correct 2.0. Documented
+    behavioral decision (SURVEY.md §2.1).
+  * Flow convention: (x, y) channel order; flo_01 is forward flow with
+    warp(nxt, flo_01) == prv (pwcnet.py:38).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from qpwcnet_tpu.models.blocks import (
+    DownConv,
+    UpConv,
+    FlowBlock,
+    UpFlowBlock,
+    FrameInterpolate,
+)
+from qpwcnet_tpu.ops.resize import upsample2x_bilinear, avg_pool_2x
+
+ENCODER_FILTERS = (16, 32, 64, 128, 256)
+DECODER_FILTERS = (128, 64, 32, 16)
+
+
+class Encoder(nn.Module):
+    """Siamese 5-stage feature pyramid; strides 1/2..1/32. No normalizer —
+    AGC replaces batchnorm (pwcnet.py:142-146)."""
+
+    filters: Sequence[int] = ENCODER_FILTERS
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.stages = [
+            DownConv(f, use_normalizer=False, dtype=self.dtype,
+                     name=f"stage_{i}")
+            for i, f in enumerate(self.filters)
+        ]
+
+    def __call__(self, img, train: bool = False):
+        """img: (B, H, W, 3) -> list of len(filters)+1 features, index 0 is
+        the input itself (pwcnet.py:152-156)."""
+        feats = [img]
+        f = img.astype(self.dtype)
+        for stage in self.stages:
+            f = stage(f, train=train)
+            feats.append(f)
+        return feats
+
+
+class Decoder(nn.Module):
+    """4 shared UpConv stages with skip-concat against the encoder feature
+    of matching scale (pwcnet.py:186-206)."""
+
+    filters: Sequence[int] = DECODER_FILTERS
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.stages = [
+            UpConv(f, dtype=self.dtype, name=f"stage_{i}")
+            for i, f in enumerate(self.filters)
+        ]
+
+    def __call__(self, encs):
+        f = encs[-1]
+        decs = []
+        i = -2
+        for stage in self.stages:
+            f = stage(f)
+            f = jnp.concatenate([f, encs[i].astype(f.dtype)], axis=-1)
+            i -= 1
+            decs.append(f)
+        return decs
+
+
+class Flower(nn.Module):
+    """Multi-level flow stack: FlowBlock at the coarsest scale, then
+    num_levels x (2x-upsample(x2.0) + UpFlowBlock), final 2x-upsample(x2.0)
+    (pwcnet.py:28-67). Outputs num_levels+2 flows, coarse to fine."""
+
+    num_levels: int = len(DECODER_FILTERS)
+    dtype: Any = jnp.float32
+    cv_impl: str = "auto"
+
+    def setup(self):
+        self.flow = FlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
+                              name="flow_0")
+        self.upflows = [
+            UpFlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
+                        name=f"upflow_{i}")
+            for i in range(self.num_levels)
+        ]
+
+    def __call__(self, enc_prv, enc_nxt, decs_prv, decs_nxt,
+                 train: bool = False):
+        flo = self.flow(enc_prv, enc_nxt, train=train)
+        flos = [flo]
+        for i in range(self.num_levels):
+            flo_u = upsample2x_bilinear(flo, scale=2.0)
+            flo = self.upflows[i](decs_prv[i], decs_nxt[i], flo_u,
+                                  train=train)
+            flos.append(flo)
+        flos.append(upsample2x_bilinear(flo, scale=2.0))
+        return flos
+
+
+class PWCFlowNet(nn.Module):
+    """The optical-flow model ('qpwc_net', pwcnet.py:210-244).
+
+    __call__(inputs (B,H,W,6), train) -> list of 6 multiscale flows at
+    1/32..1/1 of input resolution when train=True, else the final flow.
+    """
+
+    dtype: Any = jnp.float32
+    cv_impl: str = "auto"
+
+    def setup(self):
+        self.encoder = Encoder(dtype=self.dtype)
+        self.decoder = Decoder(dtype=self.dtype)
+        self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl)
+
+    def __call__(self, inputs, train: bool = False):
+        img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
+        encs_prv = self.encoder(img_prv, train=train)
+        encs_nxt = self.encoder(img_nxt, train=train)
+        decs_prv = self.decoder(encs_prv)
+        decs_nxt = self.decoder(encs_nxt)
+        flos = self.flower(
+            encs_prv[-1], encs_nxt[-1], decs_prv, decs_nxt, train=train
+        )
+        flos = [f.astype(jnp.float32) for f in flos]
+        return flos if train else flos[-1]
+
+
+class PWCInterpolator(nn.Module):
+    """Frame-interpolation model (build_interpolator, pwcnet.py:247-287):
+    shared encoder/decoder, ONE shared Flower run in both directions, and
+    the interpolator head (pwcnet.py:70-131).
+
+    __call__(inputs (B,H,W,6), train) -> list of 7 multiscale middle-frame
+    images at 1/32..1/1 when output_multiscale (train), else the final.
+    """
+
+    dtype: Any = jnp.float32
+    cv_impl: str = "auto"
+
+    def setup(self):
+        self.encoder = Encoder(dtype=self.dtype)
+        self.decoder = Decoder(dtype=self.dtype)
+        self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl)
+        n = len(DECODER_FILTERS)
+        self.interp_0 = FrameInterpolate(up=False, dtype=self.dtype,
+                                         name="img_0")
+        self.interps = [
+            FrameInterpolate(up=True, dtype=self.dtype,
+                             name=f"img_{i + 1}")
+            for i in range(n)
+        ]
+
+    def __call__(self, inputs, train: bool = False):
+        img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
+        encs_prv = self.encoder(img_prv, train=train)
+        encs_nxt = self.encoder(img_nxt, train=train)
+        decs_prv = self.decoder(encs_prv)
+        decs_nxt = self.decoder(encs_nxt)
+
+        # Reference argument order preserved exactly (pwcnet.py:274-280).
+        flos_01 = self.flower(encs_nxt[-1], encs_prv[-1], decs_nxt,
+                              decs_prv, train=train)
+        flos_10 = self.flower(encs_prv[-1], encs_nxt[-1], decs_prv,
+                              decs_nxt, train=train)
+
+        n = len(DECODER_FILTERS)
+        # AvgPool image pyramid, n+1 levels deep (pwcnet.py:85-90).
+        imgs_prv = [img_prv]
+        imgs_nxt = [img_nxt]
+        for _ in range(n + 1):
+            imgs_prv.append(avg_pool_2x(imgs_prv[-1]))
+            imgs_nxt.append(avg_pool_2x(imgs_nxt[-1]))
+
+        img = self.interp_0(imgs_prv[-1], imgs_nxt[-1], flos_01[0],
+                            flos_10[0])
+        imgs = [img]
+        for i in range(n):
+            # NOTE: at up levels the reference feeds DECODER features as
+            # prv/nxt (pwcnet.py:120-121); pyramid images beyond the
+            # coarsest level are unused. Preserved.
+            img_u = upsample2x_bilinear(img, scale=1.0)
+            img = self.interps[i](decs_prv[i], decs_nxt[i], flos_01[i + 1],
+                                  flos_10[i + 1], img_u)
+            imgs.append(img)
+        imgs.append(upsample2x_bilinear(img, scale=1.0))
+
+        imgs = [im.astype(jnp.float32) for im in imgs]
+        return imgs if train else imgs[-1]
+
+
+def build_flow_net(
+    rng: jax.Array,
+    input_hw: tuple[int, int] = (256, 512),
+    dtype: Any = jnp.float32,
+    cv_impl: str = "auto",
+):
+    """Construct a PWCFlowNet and initialize its variables.
+
+    Returns (module, variables) where variables = {'params', 'batch_stats'}.
+    """
+    model = PWCFlowNet(dtype=dtype, cv_impl=cv_impl)
+    dummy = jnp.zeros((1, input_hw[0], input_hw[1], 6), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables
+
+
+def build_interpolator(
+    rng: jax.Array,
+    input_hw: tuple[int, int] = (256, 512),
+    dtype: Any = jnp.float32,
+    cv_impl: str = "auto",
+):
+    """Construct a PWCInterpolator and initialize its variables."""
+    model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl)
+    dummy = jnp.zeros((1, input_hw[0], input_hw[1], 6), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    return model, variables

@@ -1,0 +1,155 @@
+"""Backward bilinear warping — THE flow-convention module.
+
+The reference codebase suffered recurring (x,y)-vs-(y,x) confusion
+(qpwcnet/app/optical_flow/test_warp.py:11-24 documents 8 candidate
+conventions; qpwcnet/core/layers.py:474-477 settles it). This module is the
+single place in qpwcnet_tpu where the convention is defined; everything else
+imports from here.
+
+CONVENTION (identical to the reference / MPI-Sintel):
+  * Flow tensors are NHWC with 2 channels in ``(u, v) == (x, y)`` order:
+    channel 0 is horizontal displacement (width axis), channel 1 vertical
+    (height axis).
+  * ``backward_warp(img, flow)[b, i, j] == img[b, i + v[b,i,j], j + u[b,i,j]]``
+    sampled bilinearly. Equivalently: if ``flow`` is the forward flow from
+    frame *prv* to frame *nxt* (``prv[p] == nxt[p + flow[p]]``), then
+    ``backward_warp(nxt, flow) ≈ prv``.
+  * Out-of-bounds samples clamp to the border (edge padding).
+
+Two implementations are provided:
+  * :func:`backward_warp` — the production op. Matches the semantics of the
+    reference's ``WarpV2`` (tfa.image.dense_image_warp with flow negated and
+    reversed, qpwcnet/core/layers.py:177-186): query points have their floor
+    clamped to ``[0, size-2]`` and interpolation weights clipped to
+    ``[0, 1]``.
+  * :func:`backward_warp_manual` — a port of the reference's hand-rolled
+    ``tf_warp`` (qpwcnet/core/warp.py:63-153) which truncates (not floors)
+    coordinates and does NOT clip the interpolation weights, so it
+    extrapolates at the border. Kept for the `test_warp` parity gate
+    (reference test/test_warp.py compares Warp vs WarpV2); interior pixels
+    agree between both implementations.
+
+TPU note: the gather is formulated as a single flattened-HW
+``take_along_axis`` per corner (4 gathers), which XLA lowers to an efficient
+dynamic-gather on TPU. The four corner indices are derived from one
+top-left linear index (offsets +1, +W, +W+1 are in-bounds by construction in
+the production op).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _grid(h: int, w: int, dtype=jnp.float32):
+    """Return (gy, gx) pixel-center coordinate grids of shape (h, w)."""
+    gy = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    return gy, gx
+
+
+def _gather_hw(img_flat: jax.Array, lin_idx: jax.Array) -> jax.Array:
+    """Gather pixels by flattened-HW linear index.
+
+    img_flat: (B, H*W, C); lin_idx: (B, H*W) int32 -> (B, H*W, C)
+    """
+    return jnp.take_along_axis(img_flat, lin_idx[..., None], axis=1)
+
+
+def backward_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Backward bilinear warp (production op; WarpV2 semantics).
+
+    Args:
+      img: (B, H, W, C) source image/features.
+      flow: (B, H, W, 2) flow in (x, y) channel order.
+
+    Returns:
+      (B, H, W, C): ``out[b,i,j] = img[b, i + flow_y, j + flow_x]`` with
+      border clamping, bilinearly interpolated. Matches
+      ``tfa.image.dense_image_warp(img, -flow[..., ::-1])``.
+    """
+    b, h, w, c = img.shape
+    orig_dtype = img.dtype
+    flow = flow.astype(jnp.float32)
+
+    gy, gx = _grid(h, w)
+    qx = gx[None] + flow[..., 0]
+    qy = gy[None] + flow[..., 1]
+
+    # tfa.image.interpolate_bilinear: floor clamped to [0, size-2], alphas
+    # clipped to [0, 1] => border-clamped sampling.
+    x0 = jnp.clip(jnp.floor(qx), 0.0, w - 2.0)
+    y0 = jnp.clip(jnp.floor(qy), 0.0, h - 2.0)
+    ax = jnp.clip(qx - x0, 0.0, 1.0)
+    ay = jnp.clip(qy - y0, 0.0, 1.0)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    base = (y0i * w + x0i).reshape(b, h * w)
+
+    img_flat = img.astype(jnp.float32).reshape(b, h * w, c)
+    tl = _gather_hw(img_flat, base)
+    tr = _gather_hw(img_flat, base + 1)
+    bl = _gather_hw(img_flat, base + w)
+    br = _gather_hw(img_flat, base + w + 1)
+
+    ax = ax.reshape(b, h * w, 1)
+    ay = ay.reshape(b, h * w, 1)
+    top = tl + (tr - tl) * ax
+    bot = bl + (br - bl) * ax
+    out = top + (bot - top) * ay
+    return out.reshape(b, h, w, c).astype(orig_dtype)
+
+
+def backward_warp_manual(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Port of the reference's hand-rolled ``tf_warp``
+    (qpwcnet/core/warp.py:63-153).
+
+    Differences from :func:`backward_warp` (border pixels only):
+    coordinates are truncated toward zero (tf.cast semantics), corner
+    indices clamped to [0, size-1] independently, and interpolation weights
+    are computed from the *unclamped* query point, so the result
+    extrapolates at borders. Interior pixels agree with
+    :func:`backward_warp` — this is the `test_warp` equality anchor.
+    """
+    b, h, w, c = img.shape
+    flow = flow.astype(jnp.float32)
+
+    gy, gx = _grid(h, w)
+    qx = gx[None] + flow[..., 0]
+    qy = gy[None] + flow[..., 1]
+
+    # tf.cast(x, int32) truncates toward zero.
+    x0i = qx.astype(jnp.int32)
+    y0i = qy.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    x0i = jnp.clip(x0i, 0, w - 1)
+    x1i = jnp.clip(x1i, 0, w - 1)
+    y0i = jnp.clip(y0i, 0, h - 1)
+    y1i = jnp.clip(y1i, 0, h - 1)
+
+    img_flat = img.astype(jnp.float32).reshape(b, h * w, c)
+
+    def gat(yi, xi):
+        return _gather_hw(img_flat, (yi * w + xi).reshape(b, h * w))
+
+    ia = gat(y0i, x0i)
+    ib = gat(y1i, x0i)
+    ic = gat(y0i, x1i)
+    id_ = gat(y1i, x1i)
+
+    x0f = x0i.astype(jnp.float32)
+    x1f = x1i.astype(jnp.float32)
+    y0f = y0i.astype(jnp.float32)
+    y1f = y1i.astype(jnp.float32)
+
+    wa = ((x1f - qx) * (y1f - qy)).reshape(b, h * w, 1)
+    wb = ((x1f - qx) * (qy - y0f)).reshape(b, h * w, 1)
+    wc = ((qx - x0f) * (y1f - qy)).reshape(b, h * w, 1)
+    wd = ((qx - x0f) * (qy - y0f)).reshape(b, h * w, 1)
+
+    out = wa * ia + wb * ib + wc * ic + wd * id_
+    return out.reshape(b, h, w, c).astype(img.dtype)

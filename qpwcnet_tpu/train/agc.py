@@ -1,0 +1,90 @@
+"""Adaptive Gradient Clipping (NF-Nets) as an optax transform.
+
+Reproduces the reference's unit-wise clipping (qpwcnet/core/agc.py:19-49,
+itself following the deepmind nfnets recipe) with the same axis rules —
+which match Flax's HWIO conv-kernel layout directly:
+
+  rank <= 1 (scalars/vectors/biases): whole-tensor norm;
+  rank 2-3 (linear / multihead linear): norm over axis 0, keepdims;
+  rank 4 (conv kernels HWIO): norm over axes (0, 1, 2), keepdims.
+
+grad' = grad * max_norm / max(||g||, 1e-6) where
+max_norm = clip_factor * max(||p||, eps), applied only where
+||g|| >= max_norm. Defaults clip_factor=0.01, eps=1e-3 match the
+training apps (app/optical_flow/train.py:294).
+
+Also provides :func:`zero_nan_grads` (the NaN-grad scrub of
+train.py:120) as an optax transform.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _unitwise_norm(x: jax.Array) -> jax.Array:
+    if x.ndim <= 1:
+        axis = None
+        keepdims = False
+    elif x.ndim in (2, 3):
+        axis = 0
+        keepdims = True
+    elif x.ndim == 4:
+        axis = (0, 1, 2)
+        keepdims = True
+    else:
+        raise ValueError(f"AGC: unsupported param rank {x.ndim}")
+    return jnp.sqrt(
+        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
+                keepdims=keepdims)
+    )
+
+
+def adaptive_clip_grads(params, grads, clip_factor: float = 0.01,
+                        eps: float = 1e-3):
+    """Functional AGC over matching pytrees of params and grads."""
+
+    def clip_one(p, g):
+        p_norm = _unitwise_norm(p)
+        g_norm = _unitwise_norm(g)
+        max_norm = jnp.maximum(p_norm, eps) * clip_factor
+        clipped = g * (max_norm / jnp.maximum(g_norm, 1e-6)).astype(g.dtype)
+        return jnp.where(g_norm < max_norm, g, clipped)
+
+    return jax.tree_util.tree_map(clip_one, params, grads)
+
+
+def agc(clip_factor: float = 0.01,
+        eps: float = 1e-3) -> optax.GradientTransformation:
+    """AGC as an optax GradientTransformation (requires params)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("agc requires params")
+        return adaptive_clip_grads(params, updates, clip_factor, eps), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def zero_nan_grads() -> optax.GradientTransformation:
+    """Replace NaN gradient entries with zeros
+    (app/optical_flow/train.py:120)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isnan(g), jnp.zeros_like(g), g), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

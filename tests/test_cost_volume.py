@@ -1,0 +1,104 @@
+"""Port of the reference cost-volume gates: test/test_cost_volume.py and
+app/test/test_cvol_equal.py (composed-op == fused kernel), plus semantics
+anchors (channel ordering, zero-pad behavior, self-correlation argmax).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+from qpwcnet_tpu.ops.pallas.cost_volume_kernel import cost_volume_pallas
+from qpwcnet_tpu.ops.flow_vis import cost_volume_to_flow
+
+
+def _ref_numpy_cost_volume(prv, nxt, r=4):
+    """Independent numpy oracle of the reference semantics
+    (qpwcnet/core/layers.py:72-100)."""
+    b, h, w, c = prv.shape
+    d = 2 * r + 1
+    pad = np.zeros((b, h + 2 * r, w + 2 * r, c), prv.dtype)
+    pad[:, r:r + h, r:r + w] = nxt
+    out = np.zeros((b, h, w, d * d), np.float32)
+    for i0 in range(d):
+        for j0 in range(d):
+            roi = pad[:, i0:i0 + h, j0:j0 + w]
+            out[..., i0 * d + j0] = (prv * roi).mean(axis=-1)
+    return np.where(out > 0, out, 0.1 * out)
+
+
+def test_xla_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    prv = rng.standard_normal((2, 12, 20, 8)).astype(np.float32)
+    nxt = rng.standard_normal((2, 12, 20, 8)).astype(np.float32)
+    got = np.asarray(cost_volume_xla(jnp.asarray(prv), jnp.asarray(nxt)))
+    want = _ref_numpy_cost_volume(prv, nxt)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _pallas_interpret(prv, nxt, **kw):
+    """Run the fused kernel in interpreter mode (CPU test platform).
+
+    On real TPU hardware the compiled kernel is covered by
+    tests/test_tpu_smoke.py and the bench harness.
+    """
+    return np.asarray(
+        cost_volume_pallas(
+            jnp.asarray(prv), jnp.asarray(nxt), interpret=True, **kw
+        )
+    )
+
+
+@pytest.mark.slow
+def test_pallas_matches_xla():
+    """The reference gate (CostVolume == CostVolumeV2) — here the XLA
+    formulation vs the fused Pallas kernel (interpreted on CPU).
+    Tiny shapes: interpret mode is slow."""
+    rng = np.random.RandomState(1)
+    prv = rng.standard_normal((1, 8, 16, 4)).astype(np.float32)
+    nxt = rng.standard_normal((1, 8, 16, 4)).astype(np.float32)
+    a = np.asarray(cost_volume_xla(jnp.asarray(prv), jnp.asarray(nxt)))
+    b = _pallas_interpret(prv, nxt, search_range=4, tile_h=8)
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_non_divisible_height():
+    rng = np.random.RandomState(2)
+    prv = rng.standard_normal((1, 6, 16, 4)).astype(np.float32)
+    nxt = rng.standard_normal((1, 6, 16, 4)).astype(np.float32)
+    a = np.asarray(cost_volume_xla(jnp.asarray(prv), jnp.asarray(nxt)))
+    b = _pallas_interpret(prv, nxt, search_range=4, tile_h=8)
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_center_channel_is_self_correlation():
+    """Channel k=40 (di=dj=0) must equal leaky_relu(mean_c(prv*nxt))."""
+    rng = np.random.RandomState(3)
+    prv = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    out = np.asarray(cost_volume_xla(jnp.asarray(prv), jnp.asarray(prv)))
+    want = (prv * prv).mean(axis=-1)
+    want = np.where(want > 0, want, 0.1 * want)
+    np.testing.assert_allclose(out[..., 40], want, atol=1e-5)
+
+
+def test_argmax_decodes_known_shift():
+    """Construct a frame pair with known uniform flow (u, v); the
+    cost-volume correlation argmax must decode it.
+
+    Flow convention (ops/warp.py): prv[i, j] == nxt[i + v, j + u], so
+    nxt[i, j] == prv[i - v, j - u] == np.roll(prv, (v, u)). Zero-mean
+    features make self-correlation the unambiguous argmax.
+    cost_volume_to_flow stacks (di, dj) == (y, x) deltas (vis.py:9-34).
+    """
+    rng = np.random.RandomState(4)
+    prv = rng.standard_normal((1, 16, 16, 64)).astype(np.float32)
+    u, v = -3, 2
+    nxt = np.roll(prv, shift=(v, u), axis=(1, 2))
+    cv = np.asarray(cost_volume_xla(jnp.asarray(prv), jnp.asarray(nxt)))
+    flo = np.asarray(cost_volume_to_flow(jnp.asarray(cv)))
+    # interior, away from roll wraparound
+    inner = flo[0, 5:-5, 5:-5]
+    assert inner[..., 0] == pytest.approx(v)  # di == flow y
+    assert inner[..., 1] == pytest.approx(u)  # dj == flow x
