@@ -1,0 +1,86 @@
+"""Sintel EPE evaluation (the BASELINE.json quality gate: Sintel-clean
+EPE; the reference never published a number — this app produces ours).
+
+Run: python -m qpwcnet_tpu.apps.eval_sintel --data-path 'shards/*.tfrecord'
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpwcnet_tpu.utils.config import with_args
+
+
+@dataclasses.dataclass
+class Settings:
+    data_path: str = ""       # sintel shard glob or directory root
+    load_ckpt: str = ""
+    height: int = 448
+    width: int = 1024
+    limit: int = 0            # 0 = all
+
+
+@with_args(Settings)
+def main(cfg: Settings):
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.ops.resize import resize_bilinear
+    from qpwcnet_tpu.train import create_flow_train_state, epe_error
+    from qpwcnet_tpu.train.checkpoint import CheckpointManager
+
+    model, variables = build_flow_net(
+        jax.random.key(0), (cfg.height, cfg.width))
+    if cfg.load_ckpt:
+        state = create_flow_train_state(model, variables)
+        mgr = CheckpointManager(cfg.load_ckpt)
+        state = mgr.restore(state)
+        mgr.close()
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def forward(ims):
+        return model.apply(variables, ims, train=False)
+
+    from pathlib import Path
+
+    if Path(cfg.data_path).is_dir():
+        from qpwcnet_tpu.data.sintel import sintel_dir_iterator
+
+        source = sintel_dir_iterator(cfg.data_path)
+    else:
+        from qpwcnet_tpu.data.sintel import sintel_tfrecord_iterator
+
+        source = sintel_tfrecord_iterator(cfg.data_path)
+
+    epes = []
+    for i, (ims_u8, flo_gt) in enumerate(source):
+        if cfg.limit and i >= cfg.limit:
+            break
+        h0, w0 = ims_u8.shape[:2]
+        ims = jnp.asarray(ims_u8[None].astype(np.float32) / 255.0)
+        ims = resize_bilinear(ims, (cfg.height, cfg.width)) - 0.5
+        flo = forward(ims)
+        # evaluate at ORIGINAL resolution: upsample pred back + rescale
+        flo_full = resize_bilinear(flo, (h0, w0)) * jnp.asarray(
+            [w0 / cfg.width, h0 / cfg.height])
+        epe = float(epe_error(jnp.asarray(flo_gt[None]), flo_full))
+        epes.append(epe)
+        if (i + 1) % 50 == 0:
+            print(f"{i + 1}: running EPE {np.mean(epes):.3f}",
+                  file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sintel EPE",
+        "value": float(np.mean(epes)) if epes else None,
+        "n": len(epes),
+    }))
+
+
+if __name__ == "__main__":
+    main()

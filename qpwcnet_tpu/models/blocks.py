@@ -3,10 +3,12 @@
 One implementation per block — the reference maintained twin copies
 (qpwcnet/core/layers.py Keras Layers vs non_layers.py plain functors,
 split only because tfmot QAT couldn't transform nested custom layers;
-qpwcnet/app/quantize/README.md). Since quantization here is module
-injection (qpwcnet_tpu.quantize), a single implementation covers both
-roles. Where the twins differ, the **non_layers** variants are authoritative
-because the model builders import those (qpwcnet/core/pwcnet.py:7-17).
+qpwcnet/app/quantize/README.md). Here quantization is a constructor flag
+(`quant=QuantConfig()`) threaded into the conv modules
+(qpwcnet_tpu.quantize.qlayers), so a single implementation covers float
+training, QAT, and int8 inference. Where the twins differ, the
+**non_layers** variants are authoritative because the model builders
+import those (qpwcnet/core/pwcnet.py:7-17).
 
 Numerics preserved from the reference (SURVEY.md §7 "reproduce the
 numerics that matter"):
@@ -27,7 +29,8 @@ output scale are always f32.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+import dataclasses
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,39 +38,52 @@ import jax.numpy as jnp
 from qpwcnet_tpu.ops.activations import mish
 from qpwcnet_tpu.ops.cost_volume import cost_volume
 from qpwcnet_tpu.ops.warp import backward_warp
+from qpwcnet_tpu.quantize.fake_quant import QuantConfig
+from qpwcnet_tpu.quantize.qlayers import QConv, QConvTranspose
 
 # Reference l2 coefficient for DownConv/UpConv kernels (layers.py:12).
 L2_GAMMA = 4e-6
 
 
+def _dw_quant(quant: Optional[QuantConfig]) -> Optional[QuantConfig]:
+    """Depthwise halves of separable convs quantize weights only — the
+    Keras SeparableConv2D is ONE layer, so tfmot places no FQ between its
+    depthwise and pointwise stages."""
+    if quant is None:
+        return None
+    return dataclasses.replace(quant, quantize_activations=False)
+
+
 class SepConv(nn.Module):
-    """Keras SeparableConv2D parity: depthwise kxk (no bias) + pointwise 1x1
-    (bias) + activation."""
+    """Keras SeparableConv2D parity: depthwise kxk (no bias) + pointwise
+    1x1 (bias) + activation (+ output fake-quant under QAT)."""
 
     features: int
     kernel: int = 3
     dtype: Any = jnp.float32
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, update_stats: bool = False):
         c_in = x.shape[-1]
-        x = nn.Conv(
+        x = QConv(
             features=c_in,
             kernel_size=(self.kernel, self.kernel),
             feature_group_count=c_in,
             use_bias=False,
-            padding="SAME",
             dtype=self.dtype,
+            quant=_dw_quant(self.quant),
             name="depthwise",
-        )(x)
-        x = nn.Conv(
+        )(x, update_stats)
+        return QConv(
             features=self.features,
             kernel_size=(1, 1),
             use_bias=True,
             dtype=self.dtype,
+            act=mish,
+            quant=self.quant,
             name="pointwise",
-        )(x)
-        return mish(x)
+        )(x, update_stats)
 
 
 class DownConv(nn.Module):
@@ -78,19 +94,20 @@ class DownConv(nn.Module):
     features: int
     use_normalizer: bool = False
     dtype: Any = jnp.float32
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for name, stride in (("conv_a", 2), ("conv_aa", 1), ("conv_b", 1)):
-            x = nn.Conv(
+            x = QConv(
                 features=self.features,
                 kernel_size=(3, 3),
                 strides=(stride, stride),
-                padding="SAME",
                 dtype=self.dtype,
+                act=mish,
+                quant=self.quant,
                 name=name,
-            )(x)
-            x = mish(x)
+            )(x, update_stats=train)
             if self.use_normalizer:
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -107,18 +124,19 @@ class UpConv(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.ConvTranspose(
+    def __call__(self, x, update_stats: bool = False):
+        return QConvTranspose(
             features=self.features,
             kernel_size=(4, 4),
             strides=(2, 2),
-            padding="SAME",
             dtype=self.dtype,
+            act=mish,
+            quant=self.quant,
             name="conv_up",
-        )(x)
-        return mish(x)
+        )(x, update_stats)
 
 
 class OptFlow(nn.Module):
@@ -128,6 +146,7 @@ class OptFlow(nn.Module):
 
     filters: Sequence[int] = (128, 64, 32, 16)
     dtype: Any = jnp.float32
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -135,15 +154,17 @@ class OptFlow(nn.Module):
         scale = float(h * h + w * w) ** 0.5
 
         for i, f in enumerate(self.filters):
-            x = SepConv(f, dtype=self.dtype, name=f"of_feat_{i}")(x)
-        x = nn.Conv(
+            x = SepConv(f, dtype=self.dtype, quant=self.quant,
+                        name=f"of_feat_{i}")(x, update_stats=train)
+        x = QConv(
             features=self.filters[-1],
             kernel_size=(1, 1),
             use_bias=True,
             dtype=self.dtype,
+            act=mish,
+            quant=self.quant,
             name="conv1x1",
-        )(x)
-        x = mish(x)
+        )(x, update_stats=train)
         # BN + flow conv in f32 for numerical parity under bf16 compute.
         x = nn.BatchNorm(
             use_running_average=not train,
@@ -152,14 +173,14 @@ class OptFlow(nn.Module):
             dtype=jnp.float32,
             name="norm",
         )(x.astype(jnp.float32))
-        x = nn.Conv(
+        x = QConv(
             features=2,
             kernel_size=(3, 3),
             use_bias=False,
-            padding="SAME",
             dtype=jnp.float32,
+            quant=self.quant,
             name="of_flow",
-        )(x)
+        )(x, update_stats=train)
         return scale * x
 
 
@@ -169,12 +190,14 @@ class FlowBlock(nn.Module):
 
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
     def __call__(self, prv, nxt, train: bool = False):
         cost = cost_volume(prv, nxt, impl=self.cv_impl)
         feat = jnp.concatenate([cost, prv, nxt], axis=-1)
-        return OptFlow(dtype=self.dtype, name="flow")(feat, train=train)
+        return OptFlow(dtype=self.dtype, quant=self.quant,
+                       name="flow")(feat, train=train)
 
 
 class UpFlowBlock(nn.Module):
@@ -185,6 +208,7 @@ class UpFlowBlock(nn.Module):
 
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
     def __call__(self, prv, nxt, flo, train: bool = False):
@@ -193,7 +217,8 @@ class UpFlowBlock(nn.Module):
         feat = jnp.concatenate(
             [cost, prv, flo.astype(prv.dtype)], axis=-1
         )
-        return OptFlow(dtype=self.dtype, name="flow")(feat, train=train)
+        return OptFlow(dtype=self.dtype, quant=self.quant,
+                       name="flow")(feat, train=train)
 
 
 class FrameInterpolate(nn.Module):
@@ -203,9 +228,11 @@ class FrameInterpolate(nn.Module):
 
     up: bool = False
     dtype: Any = jnp.float32
+    quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, prv, nxt, flo_01, flo_10, img_u=None):
+    def __call__(self, prv, nxt, flo_01, flo_10, img_u=None,
+                 train: bool = False):
         flo_01f = flo_01.astype(jnp.float32)
         flo_10f = flo_10.astype(jnp.float32)
         nxt_w = backward_warp(nxt, 0.5 * flo_01f)
@@ -217,11 +244,13 @@ class FrameInterpolate(nn.Module):
             assert img_u is not None
             feats.append(img_u.astype(prv.dtype))
         x = jnp.concatenate(feats, axis=-1)
-        x = SepConv(64, dtype=self.dtype, name="conv1")(x)
-        x = nn.Conv(
+        x = SepConv(64, dtype=self.dtype, quant=self.quant,
+                    name="conv1")(x, update_stats=train)
+        x = QConv(
             features=3,
             kernel_size=(1, 1),
             dtype=self.dtype,
+            quant=self.quant,
             name="conv2",
-        )(x)
+        )(x, update_stats=train)
         return x.astype(jnp.float32)

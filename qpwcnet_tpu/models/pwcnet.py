@@ -43,6 +43,7 @@ from qpwcnet_tpu.models.blocks import (
     UpFlowBlock,
     FrameInterpolate,
 )
+from qpwcnet_tpu.quantize.fake_quant import QuantConfig
 from qpwcnet_tpu.ops.resize import upsample2x_bilinear, avg_pool_2x
 
 ENCODER_FILTERS = (16, 32, 64, 128, 256)
@@ -55,11 +56,12 @@ class Encoder(nn.Module):
 
     filters: Sequence[int] = ENCODER_FILTERS
     dtype: Any = jnp.float32
+    quant: QuantConfig | None = None
 
     def setup(self):
         self.stages = [
             DownConv(f, use_normalizer=False, dtype=self.dtype,
-                     name=f"stage_{i}")
+                     quant=self.quant, name=f"stage_{i}")
             for i, f in enumerate(self.filters)
         ]
 
@@ -80,19 +82,21 @@ class Decoder(nn.Module):
 
     filters: Sequence[int] = DECODER_FILTERS
     dtype: Any = jnp.float32
+    quant: QuantConfig | None = None
 
     def setup(self):
         self.stages = [
-            UpConv(f, dtype=self.dtype, name=f"stage_{i}")
+            UpConv(f, dtype=self.dtype, quant=self.quant,
+                   name=f"stage_{i}")
             for i, f in enumerate(self.filters)
         ]
 
-    def __call__(self, encs):
+    def __call__(self, encs, train: bool = False):
         f = encs[-1]
         decs = []
         i = -2
         for stage in self.stages:
-            f = stage(f)
+            f = stage(f, update_stats=train)
             f = jnp.concatenate([f, encs[i].astype(f.dtype)], axis=-1)
             i -= 1
             decs.append(f)
@@ -107,13 +111,14 @@ class Flower(nn.Module):
     num_levels: int = len(DECODER_FILTERS)
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
+    quant: QuantConfig | None = None
 
     def setup(self):
         self.flow = FlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
-                              name="flow_0")
+                              quant=self.quant, name="flow_0")
         self.upflows = [
             UpFlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
-                        name=f"upflow_{i}")
+                        quant=self.quant, name=f"upflow_{i}")
             for i in range(self.num_levels)
         ]
 
@@ -139,18 +144,20 @@ class PWCFlowNet(nn.Module):
 
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
+    quant: QuantConfig | None = None
 
     def setup(self):
-        self.encoder = Encoder(dtype=self.dtype)
-        self.decoder = Decoder(dtype=self.dtype)
-        self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl)
+        self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
+        self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
+        self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
+                             quant=self.quant)
 
     def __call__(self, inputs, train: bool = False):
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
         encs_prv = self.encoder(img_prv, train=train)
         encs_nxt = self.encoder(img_nxt, train=train)
-        decs_prv = self.decoder(encs_prv)
-        decs_nxt = self.decoder(encs_nxt)
+        decs_prv = self.decoder(encs_prv, train=train)
+        decs_nxt = self.decoder(encs_nxt, train=train)
         flos = self.flower(
             encs_prv[-1], encs_nxt[-1], decs_prv, decs_nxt, train=train
         )
@@ -163,23 +170,27 @@ class PWCInterpolator(nn.Module):
     shared encoder/decoder, ONE shared Flower run in both directions, and
     the interpolator head (pwcnet.py:70-131).
 
-    __call__(inputs (B,H,W,6), train) -> list of 7 multiscale middle-frame
-    images at 1/32..1/1 when output_multiscale (train), else the final.
+    __call__(inputs (B,H,W,6), train) -> list of 6 multiscale middle-frame
+    images img_0..img_5 at 1/32,1/16,1/8,1/4,1/2,1/1 when train=True
+    (matching the reference's per-scale loss names img_0_loss..img_5_loss,
+    README.md:70), else the final image.
     """
 
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
+    quant: QuantConfig | None = None
 
     def setup(self):
-        self.encoder = Encoder(dtype=self.dtype)
-        self.decoder = Decoder(dtype=self.dtype)
-        self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl)
+        self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
+        self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
+        self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
+                             quant=self.quant)
         n = len(DECODER_FILTERS)
         self.interp_0 = FrameInterpolate(up=False, dtype=self.dtype,
-                                         name="img_0")
+                                         quant=self.quant, name="img_0")
         self.interps = [
             FrameInterpolate(up=True, dtype=self.dtype,
-                             name=f"img_{i + 1}")
+                             quant=self.quant, name=f"img_{i + 1}")
             for i in range(n)
         ]
 
@@ -187,8 +198,8 @@ class PWCInterpolator(nn.Module):
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
         encs_prv = self.encoder(img_prv, train=train)
         encs_nxt = self.encoder(img_nxt, train=train)
-        decs_prv = self.decoder(encs_prv)
-        decs_nxt = self.decoder(encs_nxt)
+        decs_prv = self.decoder(encs_prv, train=train)
+        decs_nxt = self.decoder(encs_nxt, train=train)
 
         # Reference argument order preserved exactly (pwcnet.py:274-280).
         flos_01 = self.flower(encs_nxt[-1], encs_prv[-1], decs_nxt,
@@ -205,7 +216,7 @@ class PWCInterpolator(nn.Module):
             imgs_nxt.append(avg_pool_2x(imgs_nxt[-1]))
 
         img = self.interp_0(imgs_prv[-1], imgs_nxt[-1], flos_01[0],
-                            flos_10[0])
+                            flos_10[0], train=train)
         imgs = [img]
         for i in range(n):
             # NOTE: at up levels the reference feeds DECODER features as
@@ -213,7 +224,7 @@ class PWCInterpolator(nn.Module):
             # coarsest level are unused. Preserved.
             img_u = upsample2x_bilinear(img, scale=1.0)
             img = self.interps[i](decs_prv[i], decs_nxt[i], flos_01[i + 1],
-                                  flos_10[i + 1], img_u)
+                                  flos_10[i + 1], img_u, train=train)
             imgs.append(img)
         imgs.append(upsample2x_bilinear(img, scale=1.0))
 
@@ -221,20 +232,33 @@ class PWCInterpolator(nn.Module):
         return imgs if train else imgs[-1]
 
 
+def _init_variables(model, rng, init_hw):
+    """Initialize at a small shape: all parameters (conv kernels, BN
+    stats) are spatial-shape-independent — the OptFlow sqrt(h²+w²) scale
+    is recomputed per call — so initializing at the full input resolution
+    would only waste a multi-minute device compile. (64, 128) is the
+    smallest comfortable 5-level pyramid."""
+    dummy = jnp.zeros((1, init_hw[0], init_hw[1], 6), jnp.float32)
+    return model.init(rng, dummy, train=False)
+
+
 def build_flow_net(
     rng: jax.Array,
     input_hw: tuple[int, int] = (256, 512),
     dtype: Any = jnp.float32,
     cv_impl: str = "auto",
+    init_hw: tuple[int, int] = (64, 128),
+    quant: QuantConfig | None = None,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
+    `input_hw` documents the intended apply resolution (any multiple of
+    32 works — params are shape-independent, see _init_variables).
     Returns (module, variables) where variables = {'params', 'batch_stats'}.
     """
-    model = PWCFlowNet(dtype=dtype, cv_impl=cv_impl)
-    dummy = jnp.zeros((1, input_hw[0], input_hw[1], 6), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
-    return model, variables
+    del input_hw
+    model = PWCFlowNet(dtype=dtype, cv_impl=cv_impl, quant=quant)
+    return model, _init_variables(model, rng, init_hw)
 
 
 def build_interpolator(
@@ -242,9 +266,10 @@ def build_interpolator(
     input_hw: tuple[int, int] = (256, 512),
     dtype: Any = jnp.float32,
     cv_impl: str = "auto",
+    init_hw: tuple[int, int] = (64, 128),
+    quant: QuantConfig | None = None,
 ):
     """Construct a PWCInterpolator and initialize its variables."""
-    model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl)
-    dummy = jnp.zeros((1, input_hw[0], input_hw[1], 6), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
-    return model, variables
+    del input_hw
+    model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl, quant=quant)
+    return model, _init_variables(model, rng, init_hw)

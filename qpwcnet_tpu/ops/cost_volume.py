@@ -63,8 +63,12 @@ def cost_volume_xla(
                 pad_nxt, (0, i0, j0, 0), (b, i0 + h, j0 + w, c)
             )
             costs.append(jnp.sum(prv32 * roi, axis=-1) * inv_c)
-    cvol = jnp.stack(costs, axis=-1)
-    return leaky_relu(cvol, 0.1).astype(prv.dtype)
+    # Stack on a LEADING axis then transpose to NHWC. Stacking on the
+    # trailing axis makes XLA:TPU materialize 81 f32[B,H,W,1] temps each
+    # lane-padded 128x (observed 36 GB HBM for 8x448x1024 inputs);
+    # leading-axis stacking keeps (H, W) on the (sublane, lane) tiles.
+    cvol = jnp.stack(costs, axis=1)  # (B, d*d, H, W)
+    return leaky_relu(cvol, 0.1).astype(prv.dtype).transpose(0, 2, 3, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("search_range", "impl"))

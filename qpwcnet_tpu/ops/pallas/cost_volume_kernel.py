@@ -49,19 +49,19 @@ def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, sem, *, r: int, th: int,
     dma.start()
     dma.wait()
 
-    prv = prv_ref[0].astype(jnp.float32)  # (C, TH, W)
+    prv = prv_ref[0]  # (C, TH, W), native dtype
     for di in range(d):
         for dj in range(d):
-            roi = scratch[:, di:di + th, dj:dj + w].astype(jnp.float32)
-            acc = jnp.sum(prv * roi, axis=0) * inv_c  # (TH, W)
+            roi = scratch[:, di:di + th, dj:dj + w]
+            # f32 accumulator via the sum dtype — avoids materializing
+            # full f32 copies of the tiles on the Mosaic stack.
+            acc = jnp.sum(prv * roi, axis=0, dtype=jnp.float32) * inv_c
             out_ref[0, di * d + dj] = jnp.where(
                 acc > 0, acc, 0.1 * acc
             ).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def cost_volume_pallas(
     prv: jax.Array,
     nxt: jax.Array,
@@ -72,18 +72,74 @@ def cost_volume_pallas(
     """Fused cost volume. prv, nxt: (B, H, W, C) -> (B, H, W, (2r+1)²).
 
     Semantics identical to cost_volume_xla (zero-padded nxt, channel-mean
-    correlation, leaky_relu(0.1)).
+    correlation, leaky_relu(0.1)). Differentiable: the backward pass
+    reuses the XLA formulation's VJP (pallas_call has no JVP rule); a
+    dedicated backward kernel is a future optimization.
     """
+    return _cost_volume_pallas_impl(
+        prv, nxt, search_range=search_range, tile_h=tile_h,
+        interpret=interpret,
+    )
+
+
+def _cv_pallas_fwd(prv, nxt, search_range, tile_h, interpret):
+    out = _cost_volume_pallas_impl(
+        prv, nxt, search_range=search_range, tile_h=tile_h,
+        interpret=interpret,
+    )
+    return out, (prv, nxt)
+
+
+def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
+    from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+
+    prv, nxt = res
+    _, vjp = jax.vjp(
+        lambda p, n: cost_volume_xla(p, n, search_range), prv, nxt
+    )
+    return vjp(g)
+
+
+cost_volume_pallas.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
+)
+def _cost_volume_pallas_impl(
+    prv: jax.Array,
+    nxt: jax.Array,
+    search_range: int = 4,
+    tile_h: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
     r = search_range
     d = 2 * r + 1
     b, h, w, c = prv.shape
+    itemsize = prv.dtype.itemsize
+    wp_for = lambda width: ((width + 2 * r + 127) // 128) * 128  # noqa: E731
 
     if tile_h is None:
-        # Keep the output tile (d², TH, W) plus two feature tiles under a
-        # few MB of VMEM; favor multiples of 8 (f32 sublane).
-        budget = 6 * 1024 * 1024
-        per_row = 4 * w * (d * d + 2 * c)  # bytes per output row, f32
-        tile_h = max(8, min(256, (budget // per_row) // 8 * 8))
+        # Exact VMEM budget: prv and out blocks are double-buffered by the
+        # pallas pipeline; the haloed nxt scratch is single-buffered but
+        # lane-padded to wp. Stay under ~12 MB of the 16 MB core VMEM.
+        budget = 10 * 1024 * 1024
+        w_lane = ((w + 127) // 128) * 128  # VMEM lane padding
+        sub = 16 if itemsize < 4 else 8    # sublane multiple
+        rup = lambda x: ((x + sub - 1) // sub) * sub  # noqa: E731
+        tile_h = 8
+        for cand in range(256, 7, -8):
+            thp = rup(cand)
+            need = (
+                2 * itemsize * c * thp * w_lane          # prv block x2
+                + 2 * itemsize * d * d * thp * w_lane    # out block x2
+                + itemsize * c * rup(cand + 2 * r) * wp_for(w)  # scratch
+                + itemsize * c * thp * w_lane            # product temp
+                + 2 * 4 * thp * w_lane                   # f32 acc tiles
+            )
+            if need <= budget:
+                tile_h = cand
+                break
     th = min(tile_h, max(8, ((h + 7) // 8) * 8))
 
     hp = ((h + th - 1) // th) * th
@@ -93,7 +149,7 @@ def cost_volume_pallas(
     # halo, W by the halo. The haloed width is padded up to a lane multiple
     # (128) because HBM->VMEM DMA slices must be 128-aligned in the last
     # dim (Mosaic tiling constraint).
-    wp = ((w + 2 * r + 127) // 128) * 128
+    wp = wp_for(w)
     prv_t = prv.transpose(0, 3, 1, 2)
     nxt_t = nxt.transpose(0, 3, 1, 2)
     if hp != h:

@@ -1,0 +1,70 @@
+"""Device-mesh data parallelism (SURVEY.md §2.10).
+
+The reference is single-process single-GPU with no distributed code at
+all; here data parallelism is first-class: a 1-D ('data',) Mesh,
+NamedSharding annotations on batch and state, and XLA-emitted gradient
+all-reduce over ICI. A 'model' axis is reserved in :func:`make_mesh` for
+future tensor/spatial sharding (SURVEY.md §5 long-context analog) but the
+~5M-param convnet needs none for parity.
+
+Multi-host: call jax.distributed.initialize() before make_mesh(); the
+mesh spans all global devices and per-host data loading feeds
+jax.make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Create a ('data', 'model') mesh. Defaults: all devices on the data
+    axis, model axis size 1."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(
+        n_data, n_model
+    )
+    return Mesh(dev_array, ("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree onto the mesh, sharded on axis 0 over
+    'data' (leading dim must divide the data axis size)."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params / train state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+
+
+def make_parallel_step(step_fn: Callable, mesh: Mesh,
+                       donate_state: bool = True) -> Callable:
+    """Jit a (state, batch) -> (state, metrics) step for the mesh:
+    state replicated, batch sharded on 'data'. XLA inserts the gradient
+    psum over ICI from these shardings alone."""
+    state_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate_state else (),
+    )

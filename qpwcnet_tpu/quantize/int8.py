@@ -1,0 +1,153 @@
+"""True int8 inference path (the deployment-artifact equivalent of the
+reference's TFLite conversion, app/quantize/convert_tflite.py — replaced
+by an int8-executing jit function plus an exportable weight bundle).
+
+The conv arithmetic runs int8 x int8 -> int32 on the MXU
+(preferred_element_type=int32), dequantized by (input_scale *
+per-channel weight_scale).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_tensor(x: jax.Array, scale: jax.Array,
+                    qmax: float = 127.0) -> jax.Array:
+    """f32 -> int8 given a symmetric scale (scalar or broadcastable)."""
+    safe = jnp.where(scale > 0, scale, 1.0)
+    return jnp.clip(
+        jnp.round(x / safe), -qmax - 1, qmax
+    ).astype(jnp.int8)
+
+
+def int8_conv_apply(
+    x: jax.Array,
+    kernel: jax.Array,
+    in_amax: jax.Array,
+    strides: Sequence[int] = (1, 1),
+    padding: str = "SAME",
+    feature_group_count: int = 1,
+    transpose: bool = False,
+    qmax: float = 127.0,
+) -> jax.Array:
+    """Quantize input + kernel, run the conv in int8->int32, dequantize.
+
+    in_amax: scalar activation absmax (from QAT quant_stats).
+    Returns f32 output (bias/activation applied by the caller).
+    """
+    s_in = (in_amax / qmax).astype(jnp.float32)
+    red = tuple(range(kernel.ndim - 1))
+    w_amax = jnp.max(jnp.abs(kernel), axis=red, keepdims=True)
+    s_w = (w_amax / qmax).astype(jnp.float32)
+
+    x_q = quantize_tensor(x.astype(jnp.float32), s_in, qmax)
+    k_q = quantize_tensor(kernel.astype(jnp.float32), s_w, qmax)
+
+    if transpose:
+        y = jax.lax.conv_transpose(
+            x_q.astype(jnp.int32),
+            k_q.astype(jnp.int32),
+            strides=tuple(strides),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x_q,
+            k_q,
+            window_strides=tuple(strides),
+            padding=padding,
+            feature_group_count=feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    return y.astype(jnp.float32) * (s_in * s_w.reshape(1, 1, 1, -1))
+
+
+class Int8Conv:
+    """A materialized int8 conv (kernel stored as int8 + scales) for the
+    exported deployment bundle."""
+
+    def __init__(self, kernel_i8: np.ndarray, w_scale: np.ndarray,
+                 bias: np.ndarray | None, in_amax: float):
+        self.kernel_i8 = kernel_i8
+        self.w_scale = w_scale
+        self.bias = bias
+        self.in_amax = in_amax
+
+
+def convert_to_int8(params, quant_stats, qmax: float = 127.0) -> dict:
+    """Export every conv kernel as int8 + per-channel scales, paired with
+    its QAT input range. Returns {path: Int8Conv}; serializable with
+    save_int8_bundle (the TFLite-file equivalent)."""
+    flat_params = dict(
+        jax.tree_util.tree_flatten_with_path(params)[0]
+    )
+    flat_stats = dict(
+        jax.tree_util.tree_flatten_with_path(quant_stats)[0]
+    )
+
+    def path_str(path):
+        return "/".join(str(getattr(p, "key", p)) for p in path)
+
+    # amax_in lives directly in the conv module's scope:
+    # {...}/<conv_name>/amax_in  ->  prefix {...}/<conv_name>
+    stats_by_prefix = {
+        path_str(p[:-1]): np.asarray(v)
+        for p, v in flat_stats.items()
+        if getattr(p[-1], "key", None) == "amax_in"
+    }
+
+    out = {}
+    for path, leaf in flat_params.items():
+        if getattr(path[-1], "key", None) != "kernel":
+            continue
+        prefix = path_str(path[:-1])
+        kernel = np.asarray(leaf, np.float32)
+        red = tuple(range(kernel.ndim - 1))
+        w_amax = np.max(np.abs(kernel), axis=red, keepdims=True)
+        w_scale = np.where(w_amax > 0, w_amax / qmax, 1.0)
+        k_q = np.clip(
+            np.round(kernel / w_scale), -qmax - 1, qmax
+        ).astype(np.int8)
+        bias_path = path[:-1] + (jax.tree_util.DictKey("bias"),)
+        bias = flat_params.get(bias_path)
+        out[prefix] = Int8Conv(
+            k_q,
+            w_scale.astype(np.float32),
+            None if bias is None else np.asarray(bias, np.float32),
+            float(stats_by_prefix.get(prefix, 0.0)),
+        )
+    return out
+
+
+def save_int8_bundle(path, bundle: dict) -> None:
+    """Serialize an int8 bundle to one .npz (deployment artifact)."""
+    arrays = {}
+    for name, conv in bundle.items():
+        arrays[f"{name}::kernel_i8"] = conv.kernel_i8
+        arrays[f"{name}::w_scale"] = conv.w_scale
+        arrays[f"{name}::in_amax"] = np.asarray(conv.in_amax)
+        if conv.bias is not None:
+            arrays[f"{name}::bias"] = conv.bias
+    np.savez_compressed(path, **arrays)
+
+
+def load_int8_bundle(path) -> dict:
+    data = np.load(path)
+    names = sorted({k.split("::")[0] for k in data.files})
+    out = {}
+    for name in names:
+        bias_key = f"{name}::bias"
+        out[name] = Int8Conv(
+            data[f"{name}::kernel_i8"],
+            data[f"{name}::w_scale"],
+            data[bias_key] if bias_key in data.files else None,
+            float(data[f"{name}::in_amax"]),
+        )
+    return out

@@ -1,0 +1,209 @@
+"""Quantization-capable conv modules.
+
+These replace flax's nn.Conv/nn.ConvTranspose inside the model blocks —
+owning their parameters directly (same names/shapes: HWIO 'kernel',
+'bias') so that:
+  * QAT is a constructor flag (`quant=QuantConfig()`), not graph surgery
+    — the capability the reference needed ~400 lines of tfmot transforms
+    for (qpwcnet/core/quantize/);
+  * the int8 inference converter (qpwcnet_tpu.quantize.int8) can read
+    kernels and activation ranges straight out of the param /
+    quant_stats pytrees.
+
+Activation fake-quant follows the Keras/tfmot placement: AFTER the
+layer's activation function (Keras convs carry their activation;
+tfmot wraps layer outputs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from qpwcnet_tpu.quantize.fake_quant import (
+    QuantConfig,
+    fake_quant,
+    weight_scale,
+)
+
+
+class ActQuant(nn.Module):
+    """Per-tensor symmetric activation fake quant with an EMA absmax
+    range in the 'quant_stats' collection (updated when update=True)."""
+
+    quant: QuantConfig
+
+    @nn.compact
+    def __call__(self, x, update: bool = False):
+        amax = self.variable(
+            "quant_stats", "amax", lambda: jnp.zeros((), jnp.float32)
+        )
+        if update and not self.is_initializing():
+            batch_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+            ema = self.quant.act_ema
+            amax.value = jnp.where(
+                amax.value > 0,
+                ema * amax.value + (1.0 - ema) * batch_amax,
+                batch_amax,
+            )
+        scale = amax.value / self.quant.qmax
+        return fake_quant(x, scale.astype(x.dtype), self.quant.qmax)
+
+
+class QConv(nn.Module):
+    """Conv2D (NHWC, HWIO kernel) with optional weight/activation int8
+    fake quantization and an optional fused activation function."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: str = "SAME"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Any = jnp.float32
+    act: Optional[Callable] = None
+    quant: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+            jnp.float32,
+        )
+
+        amax_in = None
+        if self.quant is not None:
+            # Input range: tracked during QAT (stats only — no input FQ,
+            # matching tfmot's output-side placement), consumed by the
+            # int8 execution mode.
+            amax_in = self.variable(
+                "quant_stats", "amax_in",
+                lambda: jnp.zeros((), jnp.float32),
+            )
+            if (self.quant.mode == "qat" and update_stats
+                    and not self.is_initializing()):
+                batch_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+                ema = self.quant.act_ema
+                amax_in.value = jnp.where(
+                    amax_in.value > 0,
+                    ema * amax_in.value + (1.0 - ema) * batch_amax,
+                    batch_amax,
+                )
+
+        if self.quant is not None and self.quant.mode == "int8":
+            from qpwcnet_tpu.quantize.int8 import int8_conv_apply
+
+            y = int8_conv_apply(
+                x, kernel, amax_in.value,
+                strides=self.strides, padding=self.padding,
+                feature_group_count=self.feature_group_count,
+                qmax=self.quant.qmax,
+            ).astype(self.dtype)
+        else:
+            if self.quant is not None and self.quant.quantize_weights:
+                kernel = fake_quant(
+                    kernel, weight_scale(kernel, self.quant.qmax),
+                    self.quant.qmax,
+                )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=tuple(self.strides),
+                padding=self.padding,
+                feature_group_count=self.feature_group_count,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        if self.act is not None:
+            y = self.act(y)
+        if self.quant is not None and self.quant.quantize_activations:
+            y = ActQuant(self.quant, name="act_quant")(
+                y, update_stats and self.quant.mode == "qat"
+            )
+        return y
+
+
+class QConvTranspose(nn.Module):
+    """ConvTranspose2D (NHWC, HWIO kernel) with optional quantization."""
+
+    features: int
+    kernel_size: Sequence[int] = (4, 4)
+    strides: Sequence[int] = (2, 2)
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    act: Optional[Callable] = None
+    quant: Optional[QuantConfig] = None
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+
+        amax_in = None
+        if self.quant is not None:
+            amax_in = self.variable(
+                "quant_stats", "amax_in",
+                lambda: jnp.zeros((), jnp.float32),
+            )
+            if (self.quant.mode == "qat" and update_stats
+                    and not self.is_initializing()):
+                batch_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+                ema = self.quant.act_ema
+                amax_in.value = jnp.where(
+                    amax_in.value > 0,
+                    ema * amax_in.value + (1.0 - ema) * batch_amax,
+                    batch_amax,
+                )
+
+        if self.quant is not None and self.quant.mode == "int8":
+            from qpwcnet_tpu.quantize.int8 import int8_conv_apply
+
+            y = int8_conv_apply(
+                x, kernel, amax_in.value,
+                strides=self.strides, padding=self.padding,
+                transpose=True, qmax=self.quant.qmax,
+            ).astype(self.dtype)
+        else:
+            if self.quant is not None and self.quant.quantize_weights:
+                kernel = fake_quant(
+                    kernel, weight_scale(kernel, self.quant.qmax),
+                    self.quant.qmax,
+                )
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                strides=tuple(self.strides),
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        if self.act is not None:
+            y = self.act(y)
+        if self.quant is not None and self.quant.quantize_activations:
+            y = ActQuant(self.quant, name="act_quant")(
+                y, update_stats and self.quant.mode == "qat"
+            )
+        return y

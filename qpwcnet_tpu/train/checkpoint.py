@@ -1,0 +1,101 @@
+"""Checkpoint/resume via Orbax + cross-model weight transfer
+(SURVEY.md §5 'Checkpoint / resume').
+
+Replaces the reference's three mechanisms — Keras ModelCheckpoint
+(train.py:320-321), tf.train.CheckpointManager(max_to_keep=8)
+(train.py:422-427), and the fragile SavedModel->HDF5-subprocess by-name
+weight transfer (train/util.py:23-54) — with:
+
+  * :class:`CheckpointManager` — Orbax-backed save/restore of the full
+    TrainState pytree (params + batch_stats + opt_state + step),
+    max_to_keep=8, auto-resume from latest;
+  * :func:`transfer_params` — pretrain->flow transfer by param SUBTREE
+    ('encoder', 'decoder', 'flower'), robust by construction (the
+    reference demands exact build order, pwcnet.py:276-279).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import orbax.checkpoint as ocp
+
+TRANSFER_SUBTREES = ("encoder", "decoder", "flower")
+
+
+class CheckpointManager:
+    """Orbax CheckpointManager for TrainState pytrees."""
+
+    def __init__(self, directory, max_to_keep: int = 8):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(_to_save(state))
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state, step: int | None = None):
+        """Restore into the structure of `state` (a template TrainState);
+        returns the updated state or the template if no checkpoint."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return state
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_to_save(state))
+        )
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+
+    def close(self):
+        self._mgr.close()
+
+
+def _to_save(state) -> dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def transfer_params(
+    src_params,
+    dst_params,
+    subtrees: Sequence[str] = TRANSFER_SUBTREES,
+):
+    """Copy shared subtrees (encoder/decoder/flower) from src into dst —
+    the pretrain->supervised transfer (train/util.py:23-54 equivalent).
+    Shapes must match; raises otherwise."""
+    dst = dict(dst_params)
+    for name in subtrees:
+        if name not in src_params or name not in dst_params:
+            raise KeyError(f"transfer subtree {name!r} missing")
+        src_shapes = jax.tree_util.tree_map(
+            lambda x: x.shape, src_params[name])
+        dst_shapes = jax.tree_util.tree_map(
+            lambda x: x.shape, dst_params[name])
+        if src_shapes != dst_shapes:
+            raise ValueError(f"shape mismatch in subtree {name!r}")
+        dst[name] = src_params[name]
+    return type(dst_params)(dst) if not isinstance(dst_params, dict) else dst

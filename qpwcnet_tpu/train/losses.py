@@ -114,7 +114,7 @@ def multiscale_interp_loss(
 ) -> tuple[jax.Array, dict]:
     """Sum of AutoResizeMseLoss over ALL interpolator outputs
     (pre_train.py:54-72), plus a per-scale dict for logging (the
-    reference's img_0_loss..img_6_loss names, README.md:56)."""
+    reference's img_0_loss..img_5_loss names, README.md:56-70)."""
     per_scale = {
         f"img_{i}_loss": auto_resize_mse_loss(img_true, p)
         for i, p in enumerate(img_preds)

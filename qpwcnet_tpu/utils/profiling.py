@@ -1,0 +1,81 @@
+"""Tracing / profiling harness (SURVEY.md §5 'Tracing / profiling').
+
+TPU-native replacements for the reference's three profiling mechanisms
+(Keras TensorBoard profile_batch, tf.summary.trace_on graph traces, and
+TF1 RunMetadata memory profiling — app/util/show_network.py:56-62,
+app/util/profile_memory.py:35-53):
+
+  * :func:`trace` — jax.profiler context -> Perfetto/XProf trace dir;
+  * :func:`time_fn` — block_until_ready wall-time harness;
+  * :func:`cost_analysis` — XLA's own FLOP/bytes estimate of a jitted fn;
+  * :func:`summarize_model` — parameter-count table (show_network.py
+    model.summary() equivalent).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace viewable in XProf/TensorBoard-profile."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2):
+    """Median wall time of fn(*args) with block_until_ready."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def cost_analysis(fn: Callable, *args) -> dict:
+    """XLA cost analysis (flops, bytes accessed) of a jittable fn."""
+    lowered = jax.jit(fn).lower(*args)
+    analysis = lowered.compile().cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    return dict(analysis) if analysis else {}
+
+
+def summarize_model(params, indent: int = 0) -> str:
+    """Parameter-count tree summary (the model.summary() +
+    plot_model role of app/util/show_network.py)."""
+    lines = []
+
+    def walk(tree, prefix, depth):
+        if isinstance(tree, dict) or hasattr(tree, "items"):
+            total = 0
+            sub = []
+            for k in sorted(tree.keys()):
+                n, s = walk(tree[k], prefix + "/" + str(k), depth + 1)
+                total += n
+                sub.extend(s)
+            sub.insert(0, f"{'  ' * depth}{prefix.split('/')[-1] or 'model'}"
+                           f": {total:,}")
+            return total, sub
+        n = int(np.prod(tree.shape)) if hasattr(tree, "shape") else 1
+        return n, [f"{'  ' * depth}{prefix.split('/')[-1]}: "
+                   f"{tuple(tree.shape)} = {n:,}"]
+
+    total, sub = walk(params, "", indent)
+    lines.extend(sub)
+    lines.append(f"TOTAL: {total:,} params")
+    return "\n".join(lines)

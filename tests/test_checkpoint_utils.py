@@ -1,0 +1,140 @@
+"""Tests for checkpoint/resume, cross-model transfer, run dirs, config
+CLI, metrics writer, and profiling helpers (SURVEY.md §5 aux subsystems).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from qpwcnet_tpu.train.checkpoint import CheckpointManager, transfer_params
+from qpwcnet_tpu.train.train_state import TrainState, default_optimizer
+from qpwcnet_tpu.utils.config import parse_config
+from qpwcnet_tpu.utils.runs import setup_run_dir, snapshot_config
+
+
+def _tiny_state():
+    params = {"layer": {"kernel": jnp.ones((2, 3)),
+                        "bias": jnp.zeros((3,))}}
+    tx = default_optimizer(1e-3)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats={},
+        opt_state=tx.init(params),
+        apply_fn=lambda *a, **k: None,
+        tx=tx,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = _tiny_state()
+    state = state.replace(
+        params={"layer": {"kernel": jnp.full((2, 3), 7.0),
+                          "bias": jnp.ones((3,))}},
+        step=jnp.asarray(42, jnp.int32),
+    )
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+    mgr.save(42, state)
+    mgr.wait()
+    assert mgr.latest_step() == 42
+
+    fresh = _tiny_state()
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 42
+    np.testing.assert_allclose(
+        np.asarray(restored.params["layer"]["kernel"]), 7.0)
+    mgr.close()
+
+
+def test_checkpoint_max_to_keep(tmp_path):
+    state = _tiny_state()
+    mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+    for s in (1, 2, 3):
+        mgr.save(s, state.replace(step=jnp.asarray(s, jnp.int32)))
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    steps = sorted(mgr._mgr.all_steps())
+    assert len(steps) <= 2 and 1 not in steps
+    mgr.close()
+
+
+def test_restore_without_checkpoint_returns_template(tmp_path):
+    state = _tiny_state()
+    mgr = CheckpointManager(tmp_path / "empty")
+    out = mgr.restore(state)
+    assert int(out.step) == 0
+    mgr.close()
+
+
+def test_transfer_params(flow_setup, interp_setup):
+    """Pretrain->flow transfer: encoder/decoder/flower copied, heads
+    untouched (train/util.py:23-54 role)."""
+    _, v_flow = flow_setup
+    _, v_interp = interp_setup
+    out = transfer_params(v_interp["params"], v_flow["params"])
+    a = np.asarray(jax.tree_util.tree_leaves(out["encoder"])[0])
+    b = np.asarray(jax.tree_util.tree_leaves(
+        v_interp["params"]["encoder"])[0])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_run_dir_autoincrement(tmp_path):
+    p1 = setup_run_dir(tmp_path)
+    p2 = setup_run_dir(tmp_path)
+    assert p1["run"].name == "000" and p2["run"].name == "001"
+    assert (p1["log"]).is_dir() and (p1["ckpt"]).is_dir()
+
+    snapshot_config(p1["run"], {"lr": 1e-4})
+    assert json.load(open(p1["run"] / "config.json"))["lr"] == 1e-4
+
+
+def test_config_cli_and_snapshot(tmp_path):
+    import dataclasses
+
+    @dataclasses.dataclass
+    class S:
+        lr: float = 1e-4
+        steps: int = 10
+        name: str = "x"
+        augment: bool = True
+
+    cfg = parse_config(S, ["--lr", "0.01", "--augment", "false"])
+    assert cfg.lr == 0.01 and cfg.steps == 10 and cfg.augment is False
+
+    snap = tmp_path / "c.json"
+    json.dump({"lr": 0.5, "name": "fromfile"}, open(snap, "w"))
+    cfg2 = parse_config(S, ["--config", str(snap)])
+    assert cfg2.lr == 0.5 and cfg2.name == "fromfile"
+    # CLI beats snapshot
+    cfg3 = parse_config(S, ["--config", str(snap), "--lr", "0.25"])
+    assert cfg3.lr == 0.25
+
+
+def test_metric_writer(tmp_path):
+    from qpwcnet_tpu.train.metrics import MetricWriter
+
+    w = MetricWriter(tmp_path / "log")
+    w.scalars(1, {"loss": 0.5})
+    w.flow_image(1, "flow", np.ones((8, 8, 2), np.float32))
+    w.image(1, "img", np.zeros((8, 8, 3), np.float32))
+    w.flush()
+    w.close()
+    lines = open(tmp_path / "log" / "metrics.jsonl").read().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["loss"] == 0.5 and rec["step"] == 1
+
+
+def test_profiling_helpers(flow_setup):
+    from qpwcnet_tpu.utils.profiling import summarize_model, time_fn
+
+    model, variables = flow_setup
+    summary = summarize_model(variables["params"])
+    assert "TOTAL" in summary
+
+    dt = time_fn(jax.jit(lambda x: x * 2), jnp.ones((4,)), iters=3,
+                 warmup=1)
+    assert dt >= 0.0

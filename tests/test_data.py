@@ -1,0 +1,222 @@
+"""Data-layer tests: format codecs (flo/PFM/TFRecord+proto), triplet
+datasets, the prefetch pipeline, and the on-device augmentation semantics
+(flip sign fixes, scale+crop flow scaling, triplet consistency).
+"""
+
+import io
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpwcnet_tpu.data import proto
+from qpwcnet_tpu.data.augment import (
+    augment_triplet_batch,
+    flip_lr_pair,
+    flip_ud_pair,
+    image_augment_batch,
+    scale_and_crop,
+)
+from qpwcnet_tpu.data.flo_format import read_flo, write_flo
+from qpwcnet_tpu.data.pfm import read_pfm
+from qpwcnet_tpu.data.pipeline import (
+    PrefetchLoader,
+    preprocess_flow_batch,
+    preprocess_triplet_batch,
+    triplet_sample_fn,
+)
+from qpwcnet_tpu.data.tfrecord import (
+    crc32c,
+    make_sintel_example,
+    parse_sintel_example,
+    tfrecord_iterator,
+    write_tfrecord,
+)
+from qpwcnet_tpu.data.triplet import DummyTripletDataset
+
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    flow = rng.standard_normal((12, 20, 2)).astype(np.float32)
+    p = tmp_path / "a.flo"
+    write_flo(p, flow)
+    np.testing.assert_array_equal(read_flo(p), flow)
+
+
+def test_pfm_read(tmp_path):
+    rng = np.random.RandomState(0)
+    data = rng.standard_normal((6, 8, 3)).astype("<f4")
+    p = tmp_path / "a.pfm"
+    with open(p, "wb") as f:
+        f.write(b"PF\n8 6\n-1.0\n")
+        f.write(np.flipud(data).tobytes())
+    np.testing.assert_allclose(read_pfm(p), data)
+
+
+def test_crc32c_known_values():
+    # RFC 3720 test vector: crc32c of 32 zero bytes = 0x8A9136AA
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_example_proto_roundtrip():
+    flow = np.arange(24, dtype=np.float32).reshape(3, 4, 2)
+    ex = proto.encode_example({
+        "width": 4,
+        "height": 3,
+        "prv": b"png-a",
+        "nxt": b"png-b",
+        "flo": proto.encode_float_tensor(flow),
+    })
+    dec = proto.decode_example(ex)
+    assert dec["width"] == [4] and dec["height"] == [3]
+    assert dec["prv"] == b"png-a" and dec["nxt"] == b"png-b"
+    np.testing.assert_array_equal(
+        proto.decode_float_tensor(dec["flo"]), flow
+    )
+
+
+def test_sintel_tfrecord_roundtrip(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    img_a = rng.randint(0, 255, (16, 24, 3), np.uint8)
+    img_b = rng.randint(0, 255, (16, 24, 3), np.uint8)
+    flow = rng.standard_normal((16, 24, 2)).astype(np.float32)
+
+    def png(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rec = make_sintel_example(png(img_a), png(img_b), flow)
+    path = tmp_path / "s.tfrecord"
+    assert write_tfrecord(path, [rec, rec]) == 2
+    # zlib container sniffing
+    assert zlib.decompress(path.read_bytes())
+
+    out = list(tfrecord_iterator(path, verify_crc=True))
+    assert len(out) == 2
+    ims, flo = parse_sintel_example(out[0])
+    np.testing.assert_array_equal(ims[..., :3], img_a)
+    np.testing.assert_array_equal(ims[..., 3:], img_b)
+    np.testing.assert_allclose(flo, flow, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tfrecord_readable_by_tensorflow(tmp_path):
+    """Cross-validate the pure-python codec against the actual TF reader
+    (the reference's consumer, tfrecord.py:53-80)."""
+    import tensorflow as tf
+
+    flow = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    rec = make_sintel_example(b"a", b"b", flow)
+    path = str(tmp_path / "x.tfrecord")
+    write_tfrecord(path, [rec])
+
+    ds = tf.data.TFRecordDataset([path], compression_type="ZLIB")
+    raw = next(iter(ds)).numpy()
+    ex = tf.io.parse_single_example(
+        raw,
+        {
+            "width": tf.io.FixedLenFeature([], tf.int64),
+            "height": tf.io.FixedLenFeature([], tf.int64),
+            "prv": tf.io.FixedLenFeature([], tf.string),
+            "nxt": tf.io.FixedLenFeature([], tf.string),
+            "flo": tf.io.FixedLenFeature([], tf.string),
+        },
+    )
+    assert int(ex["width"]) == 2 and int(ex["height"]) == 2
+    got = tf.io.parse_tensor(ex["flo"], tf.float32).numpy()
+    np.testing.assert_array_equal(got, flow)
+
+
+def test_flip_sign_semantics():
+    """Flipped flow components change sign on the flipped axis
+    (augment.py:83-114)."""
+    ims = jnp.zeros((4, 6, 6))
+    flo = jnp.ones((4, 6, 2))
+    # find keys that flip / don't flip
+    for k in range(20):
+        key = jax.random.key(k)
+        i2, f2 = flip_ud_pair(key, ims, flo)
+        flipped = bool(jax.random.uniform(key, ()) < 0.5)
+        if flipped:
+            np.testing.assert_allclose(np.asarray(f2[..., 1]), -1.0)
+            np.testing.assert_allclose(np.asarray(f2[..., 0]), 1.0)
+        else:
+            np.testing.assert_allclose(np.asarray(f2), 1.0)
+        i3, f3 = flip_lr_pair(key, ims, flo)
+        if flipped:
+            np.testing.assert_allclose(np.asarray(f3[..., 0]), -1.0)
+            np.testing.assert_allclose(np.asarray(f3[..., 1]), 1.0)
+
+
+def test_scale_and_crop_properties():
+    """Static output shape; uniform flow scaled by the drawn factor
+    within base*[0.955, 1.05] (augment.py:117-142)."""
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(rng.uniform(size=(40, 64, 6)).astype(np.float32))
+    flo = jnp.full((40, 64, 2), 2.0)
+    out_i, out_f = scale_and_crop(jax.random.key(3), ims, flo, (32, 48),
+                                  base_scale=1.0)
+    assert out_i.shape == (32, 48, 6)
+    assert out_f.shape == (32, 48, 2)
+    ratio = float(jnp.mean(out_f)) / 2.0
+    assert 0.955 - 1e-3 <= ratio <= 1.05 + 1e-3
+
+
+def test_image_augment_batch_shapes():
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(rng.uniform(size=(2, 40, 64, 6)).astype(np.float32))
+    flo = jnp.asarray(
+        rng.uniform(-2, 2, size=(2, 40, 64, 2)).astype(np.float32))
+    out_i, out_f = image_augment_batch(jax.random.key(0), ims, flo,
+                                       (32, 48), 1.0)
+    assert out_i.shape == (2, 32, 48, 6)
+    assert out_f.shape == (2, 32, 48, 2)
+    assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_triplet_augment_consistency():
+    """All three frames get the SAME flip and photometric transform per
+    sample (triplet_dataset_ops.py:20-54)."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+    a2, b2, c2 = augment_triplet_batch(jax.random.key(1), a, a, a)
+    # identical inputs stay identical under consistent augmentation
+    # (up to the independent additive noise, sigma=0.02 shared across
+    # frames since the noise shape has a leading 1)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(c2), atol=1e-6)
+
+
+def test_prefetch_loader_and_triplet_preprocess():
+    ds = DummyTripletDataset(n=6, hw=(32, 64))
+    loader = PrefetchLoader(
+        triplet_sample_fn(ds), len(ds), batch_size=2, n_workers=2,
+        repeat=False,
+    )
+    batches = list(iter(loader))
+    assert len(batches) == 3
+    a, b, c = batches[0]
+    assert a.shape == (2, 32, 64, 3) and a.dtype == np.uint8
+    out = preprocess_triplet_batch(jax.random.key(0), jnp.asarray(a),
+                                   jnp.asarray(b), jnp.asarray(c))
+    assert out["ims"].shape == (2, 32, 64, 6)
+    assert out["mid"].shape == (2, 32, 64, 3)
+    loader.close()
+
+
+def test_preprocess_flow_batch_nan_scrub():
+    ims = np.zeros((1, 32, 64, 6), np.uint8)
+    flo = np.zeros((1, 32, 64, 2), np.float32)
+    flo[0, 0, 0, 0] = np.nan
+    out = preprocess_flow_batch(jax.random.key(0), jnp.asarray(ims),
+                                jnp.asarray(flo), out_hw=(32, 64),
+                                augment=False)
+    assert np.isfinite(np.asarray(out["flo"])).all()
+    assert np.isfinite(np.asarray(out["ims"])).all()
+    np.testing.assert_allclose(np.asarray(out["ims"]), -0.5)

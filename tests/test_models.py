@@ -1,0 +1,130 @@
+"""Model structure tests: multiscale output shapes, closed-form parameter
+counts (structural parity with the reference builders, pwcnet.py:210-287),
+siamese weight sharing, and flow<->interpolator transferability.
+
+Uses the session-scoped model fixtures from conftest (TEST_HW=(32, 64)) —
+full-model CPU compiles are expensive on this host.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.conftest import TEST_HW
+
+H, W = TEST_HW
+
+
+def _n_params(tree):
+    return sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree))
+
+
+def _optflow_params(d_in):
+    """Closed-form OptFlow trainable params (non_layers.py:213-273):
+    4 separable convs (128/64/32/16) + 1x1 conv(16) + BN(scale,bias) +
+    3x3 flow conv (2ch, no bias). SeparableConv(D->F) = 9D + DF + F."""
+    total = 0
+    d = d_in
+    for f in (128, 64, 32, 16):
+        total += 9 * d + d * f + f
+        d = f
+    total += 16 * 16 + 16       # 1x1 conv
+    total += 2 * 16             # BN scale+bias
+    total += 9 * 16 * 2         # flow conv
+    return total
+
+
+def _expected_flow_net_params():
+    # Encoder: DownConv(F, C_in) = 9*C*F + 2*9*F*F + 3*F (pwcnet.py:145)
+    enc = 0
+    c = 3
+    for f in (16, 32, 64, 128, 256):
+        enc += 9 * c * f + 18 * f * f + 3 * f
+        c = f
+    # Decoder: UpConv = ConvTranspose 4x4: 16*C*F + F; inputs walk the
+    # skip-concat chain (pwcnet.py:186-206).
+    dec = 0
+    dec_in = (256, 256, 128, 64)
+    for c_in, f in zip(dec_in, (128, 64, 32, 16)):
+        dec += 16 * c_in * f + f
+    # Flower: Flow on concat[cost81, enc256, enc256]; UpFlows on
+    # concat[cost81, dec_c, flo2] (layers.py:429,482).
+    flower = _optflow_params(81 + 256 + 256)
+    for c_dec in (256, 128, 64, 32):
+        flower += _optflow_params(81 + c_dec + 2)
+    return enc + dec + flower
+
+
+def _expected_interp_params():
+    # FrameInterpolate: SepConv(D->64) + 1x1 conv(64->3) (layers.py:356).
+    def head(d_in):
+        return 9 * d_in + 64 * d_in + 64 + (64 * 3 + 3)
+
+    total = _expected_flow_net_params()
+    total += head(3 + 3 + 2 + 2)  # img_0: warped images + 2 flows
+    for c_dec in (256, 128, 64, 32):
+        total += head(2 * c_dec + 2 + 2 + 3)  # warped decs + flows + img_u
+    return total
+
+
+def test_flow_net_multiscale_shapes(flow_setup):
+    model, variables = flow_setup
+    x = jnp.zeros((2, H, W, 6), jnp.float32)
+    outs = model.apply(variables, x, train=True,
+                       mutable=["batch_stats"])[0]
+    assert len(outs) == 6  # 1/32..1/1 (pwcnet.py:39-61)
+    for i, o in enumerate(outs):
+        s = 32 // (2 ** i)
+        assert o.shape == (2, H // s, W // s, 2), (i, o.shape)
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_flow_net_inference_single_output(flow_setup):
+    model, variables = flow_setup
+    x = jnp.zeros((1, H, W, 6), jnp.float32)
+    final = model.apply(variables, x, train=False)
+    assert final.shape == (1, H, W, 2)
+
+
+def test_interpolator_multiscale_shapes(interp_setup):
+    model, variables = interp_setup
+    x = jnp.zeros((1, H, W, 6), jnp.float32)
+    outs = model.apply(variables, x, train=True,
+                       mutable=["batch_stats"])[0]
+    # img_0..img_5 (pwcnet.py:101-126): coarsest head + 4 refinement
+    # heads + final upsample == 6 outputs, matching the reference's
+    # README per-scale losses img_0_loss..img_5_loss (README.md:70).
+    assert len(outs) == 6
+    for i, o in enumerate(outs):
+        s = 32 // (2 ** i) if i < 5 else 1
+        assert o.shape == (1, H // s, W // s, 3), (i, o.shape)
+
+
+def test_flow_net_param_count(flow_setup):
+    _, variables = flow_setup
+    assert _n_params(variables["params"]) == _expected_flow_net_params()
+
+
+def test_interpolator_param_count(interp_setup):
+    """The interpolator adds ONLY the FrameInterpolate heads on top of the
+    flow net's encoder/decoder/flower — the Flower block is shared across
+    both directions (pwcnet.py:270-280)."""
+    _, variables = interp_setup
+    assert _n_params(variables["params"]) == _expected_interp_params()
+
+
+def test_transfer_subtrees_match(flow_setup, interp_setup):
+    """Weight transfer between models = copying the encoder/decoder/flower
+    param subtrees; their structures must be identical (the reference
+    relied on fragile build-order name matching, pwcnet.py:276-279)."""
+    _, v_flow = flow_setup
+    _, v_interp = interp_setup
+    for sub in ("encoder", "decoder", "flower"):
+        a = jax.tree_util.tree_structure(v_flow["params"][sub])
+        b = jax.tree_util.tree_structure(v_interp["params"][sub])
+        assert a == b, sub
+        shapes_a = jax.tree_util.tree_map(
+            lambda x: x.shape, v_flow["params"][sub])
+        shapes_b = jax.tree_util.tree_map(
+            lambda x: x.shape, v_interp["params"][sub])
+        assert shapes_a == shapes_b, sub

@@ -1,0 +1,205 @@
+"""Quantization tests — the port of the reference's test_quantize_module
+gate (test/test_quantize_module.py: annotate/apply works and the
+quantized model builds and runs) plus int8-arithmetic correctness the
+reference never had.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpwcnet_tpu.quantize import (
+    QuantConfig,
+    QConv,
+    fake_quant,
+)
+from qpwcnet_tpu.quantize.fake_quant import weight_scale
+from qpwcnet_tpu.quantize.int8 import (
+    convert_to_int8,
+    int8_conv_apply,
+    load_int8_bundle,
+    save_int8_bundle,
+)
+
+
+def test_fake_quant_error_bound():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-3, 3, (64,)).astype(np.float32))
+    scale = jnp.asarray(3.0 / 127.0)
+    q = fake_quant(x, scale)
+    assert float(jnp.max(jnp.abs(q - x))) <= float(scale) / 2 + 1e-6
+
+
+def test_fake_quant_straight_through_grad():
+    x = jnp.asarray([0.5, -1.2, 2.0])
+    g = jax.grad(lambda v: jnp.sum(fake_quant(v, jnp.asarray(0.1))))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_weight_scale_per_channel():
+    k = jnp.stack(
+        [jnp.full((3, 3, 4), 1.0), jnp.full((3, 3, 4), 0.5)], axis=-1
+    )
+    s = weight_scale(k)
+    np.testing.assert_allclose(
+        np.asarray(s).ravel(), [1.0 / 127, 0.5 / 127], rtol=1e-6
+    )
+
+
+def test_qconv_matches_flax_conv_when_unquantized():
+    """QConv(quant=None) must be numerically identical to nn.Conv with
+    the same kernel (blocks swapped nn.Conv for QConv)."""
+    import flax.linen as nn
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 4)).astype(np.float32))
+
+    qc = QConv(features=6, kernel_size=(3, 3), strides=(2, 2))
+    qv = qc.init(jax.random.key(0), x)
+
+    fc = nn.Conv(features=6, kernel_size=(3, 3), strides=(2, 2),
+                 padding="SAME")
+    fv = {"params": {"kernel": qv["params"]["kernel"],
+                     "bias": qv["params"]["bias"]}}
+    np.testing.assert_allclose(
+        np.asarray(qc.apply(qv, x)),
+        np.asarray(fc.apply(fv, x)),
+        atol=1e-5,
+    )
+
+
+def test_qconv_transpose_matches_flax():
+    import flax.linen as nn
+
+    from qpwcnet_tpu.quantize import QConvTranspose
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 4)).astype(np.float32))
+    qc = QConvTranspose(features=5, kernel_size=(4, 4), strides=(2, 2))
+    qv = qc.init(jax.random.key(0), x)
+    fc = nn.ConvTranspose(features=5, kernel_size=(4, 4), strides=(2, 2),
+                          padding="SAME")
+    fv = {"params": {"kernel": qv["params"]["kernel"],
+                     "bias": qv["params"]["bias"]}}
+    np.testing.assert_allclose(
+        np.asarray(qc.apply(qv, x)),
+        np.asarray(fc.apply(fv, x)),
+        atol=1e-5,
+    )
+
+
+def test_int8_conv_close_to_float():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 8)).astype(np.float32))
+    k = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (3, 3, 8, 16)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = int8_conv_apply(x, k, in_amax=jnp.asarray(1.0))
+    err = float(jnp.max(jnp.abs(got - ref)))
+    # int8 quantization of both operands: error ~ a few quanta
+    assert err < 0.05, err
+    rel = err / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
+def test_qat_flow_net_builds_runs_and_tracks_ranges():
+    """The test_quantize_module gate: the quantized model builds, runs,
+    and a QAT step populates activation ranges; quantized outputs stay
+    close to the float model with identical params."""
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.train import (
+        create_flow_train_state, make_flow_train_step)
+
+    quant = QuantConfig()
+    model, variables = build_flow_net(
+        jax.random.key(0), (32, 64), cv_impl="xla", quant=quant)
+    assert "quant_stats" in variables
+
+    state = create_flow_train_state(model, variables, learning_rate=1e-4)
+    step = jax.jit(make_flow_train_step())
+    rng = np.random.RandomState(0)
+    batch = {
+        "ims": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (1, 32, 64, 6)).astype(np.float32)),
+        "flo": jnp.zeros((1, 32, 64, 2), jnp.float32),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # ranges must have been populated by the step
+    amaxes = [float(x) for x in jax.tree_util.tree_leaves(
+        state.quant_stats)]
+    assert max(amaxes) > 0.0
+
+    # fake-quant inference close to float inference with the same params
+    from qpwcnet_tpu.models import PWCFlowNet
+
+    float_model = PWCFlowNet(cv_impl="xla")
+    f_out = float_model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["ims"], train=False)
+    q_out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "quant_stats": state.quant_stats},
+        batch["ims"], train=False)
+    rel = float(jnp.max(jnp.abs(q_out - f_out))) / (
+        float(jnp.max(jnp.abs(f_out))) + 1e-6)
+    assert rel < 0.5, rel  # loose: random init, coarse-level amplification
+
+
+@pytest.mark.slow
+def test_int8_inference_mode_runs():
+    """True-int8 execution of the full flow net using QAT ranges."""
+    import dataclasses
+
+    from qpwcnet_tpu.models import PWCFlowNet, build_flow_net
+    from qpwcnet_tpu.train import (
+        create_flow_train_state, make_flow_train_step)
+
+    quant = QuantConfig()
+    model, variables = build_flow_net(
+        jax.random.key(0), (32, 64), cv_impl="xla", quant=quant)
+    state = create_flow_train_state(model, variables)
+    step = jax.jit(make_flow_train_step())
+    rng = np.random.RandomState(0)
+    batch = {
+        "ims": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (1, 32, 64, 6)).astype(np.float32)),
+        "flo": jnp.zeros((1, 32, 64, 2), jnp.float32),
+    }
+    for _ in range(3):
+        state, _ = step(state, batch)
+
+    int8_model = PWCFlowNet(
+        cv_impl="xla", quant=dataclasses.replace(quant, mode="int8"))
+    out = int8_model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "quant_stats": state.quant_stats},
+        batch["ims"], train=False)
+    assert out.shape == (1, 32, 64, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8_bundle_roundtrip(tmp_path):
+    rng = np.random.RandomState(4)
+    params = {
+        "enc": {"conv_a": {
+            "kernel": jnp.asarray(
+                rng.standard_normal((3, 3, 4, 8)).astype(np.float32)),
+            "bias": jnp.zeros((8,), jnp.float32),
+        }}
+    }
+    stats = {"enc": {"conv_a": {"amax_in": jnp.asarray(2.5)}}}
+    bundle = convert_to_int8(params, stats)
+    assert "enc/conv_a" in bundle
+    conv = bundle["enc/conv_a"]
+    assert conv.kernel_i8.dtype == np.int8
+    assert conv.in_amax == pytest.approx(2.5)
+
+    path = tmp_path / "bundle.npz"
+    save_int8_bundle(path, bundle)
+    loaded = load_int8_bundle(path)
+    np.testing.assert_array_equal(
+        loaded["enc/conv_a"].kernel_i8, conv.kernel_i8)
+    assert loaded["enc/conv_a"].in_amax == pytest.approx(2.5)

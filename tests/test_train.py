@@ -1,0 +1,166 @@
+"""Training-layer tests: loss semantics, AGC, NaN scrubbing, schedules,
+and a synthetic end-to-end train loop whose loss must decrease (the
+minimum end-to-end slice of SURVEY.md §7).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpwcnet_tpu.train import (
+    adaptive_clip_grads,
+    auto_resize_mse_loss,
+    create_flow_train_state,
+    epe_error,
+    make_flow_train_step,
+    make_interp_train_step,
+    multiscale_flow_loss,
+)
+from qpwcnet_tpu.train.losses import flow_loss_v2, _huber
+from qpwcnet_tpu.train.schedules import (
+    piecewise_halving_schedule,
+    triangular2_cyclic_schedule,
+)
+from tests.conftest import TEST_HW
+
+H, W = TEST_HW
+
+
+def test_huber_matches_keras():
+    err = np.asarray([-0.05, 0.0, 0.05, 0.2, -1.0], np.float32)
+    got = np.asarray(_huber(jnp.asarray(err), 0.1))
+    want = np.where(
+        np.abs(err) <= 0.1,
+        0.5 * np.square(err),
+        0.1 * (np.abs(err) - 0.05),
+    )
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_flow_loss_v2_scaling():
+    """GT at full res, pred at half res: magnitudes rescaled by 1/2, GT
+    block-mean pooled, Huber on 2/(w+h)-normalized flow
+    (loss.py:144-174)."""
+    flo_true = jnp.ones((1, 8, 8, 2), jnp.float32) * 4.0
+    flo_pred = jnp.ones((1, 4, 4, 2), jnp.float32) * 2.0
+    # downsampled true = 4.0 * 0.5 = 2.0 == pred => zero loss
+    assert float(flow_loss_v2(flo_true, flo_pred)) == pytest.approx(0.0)
+
+    flo_pred2 = jnp.ones((1, 4, 4, 2), jnp.float32) * 2.5
+    ls = 2.0 / (4 + 4)
+    err = abs(ls * 2.0 - ls * 2.5)
+    want = 0.5 * err * err if err <= 0.1 else 0.1 * (err - 0.05)
+    assert float(flow_loss_v2(flo_true, flo_pred2)) == pytest.approx(
+        want, rel=1e-5
+    )
+
+
+def test_multiscale_excludes_final():
+    """The final bilinear-only output must not contribute
+    (train.py:271-275)."""
+    flo_true = jnp.zeros((1, 8, 8, 2))
+    good = jnp.zeros((1, 4, 4, 2))
+    bad = jnp.full((1, 8, 8, 2), 100.0)
+    loss = multiscale_flow_loss(flo_true, [good, bad])
+    assert float(loss) == pytest.approx(0.0)
+
+
+def test_auto_resize_mse():
+    img_true = jnp.ones((1, 8, 8, 3)) * 0.5
+    img_pred = jnp.zeros((1, 4, 4, 3))
+    assert float(auto_resize_mse_loss(img_true, img_pred)) == pytest.approx(
+        0.25
+    )
+
+
+def test_epe():
+    t = jnp.zeros((1, 4, 4, 2))
+    p = jnp.concatenate(
+        [jnp.full((1, 4, 4, 1), 3.0), jnp.full((1, 4, 4, 1), 4.0)], -1
+    )
+    assert float(epe_error(t, p)) == pytest.approx(5.0)
+
+
+def test_agc_clips_large_grads():
+    """Unit-wise: grad scaled to clip_factor*max(||p||,eps) when its norm
+    exceeds it (core/agc.py:39-49)."""
+    params = {"w": jnp.ones((3, 3, 4, 8))}  # HWIO conv kernel
+    grads = {"w": jnp.full((3, 3, 4, 8), 10.0)}
+    out = adaptive_clip_grads(params, grads, clip_factor=0.01, eps=1e-3)
+    p_norm = np.sqrt(3 * 3 * 4)  # per-output-channel norm of ones
+    g_norm = 10.0 * np.sqrt(3 * 3 * 4)
+    expect = 10.0 * (0.01 * p_norm) / g_norm
+    np.testing.assert_allclose(np.asarray(out["w"]), expect, rtol=1e-5)
+
+
+def test_agc_passes_small_grads():
+    params = {"w": jnp.ones((3, 3, 4, 8))}
+    grads = {"w": jnp.full((3, 3, 4, 8), 1e-5)}
+    out = adaptive_clip_grads(params, grads)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1e-5, rtol=1e-6)
+
+
+def test_schedules():
+    s1 = piecewise_halving_schedule(batch_size=16)
+    assert float(s1(0)) == pytest.approx(1e-4)
+    assert float(s1(10_000_000)) == pytest.approx(1e-4 / 16)
+    s2 = triangular2_cyclic_schedule(batch_size=8)
+    assert float(s2(0)) == pytest.approx(1e-4)
+    peak = float(s2(10_000))  # first peak
+    assert peak == pytest.approx(5e-3, rel=1e-3)
+
+
+def test_flow_training_loss_decreases(flow_setup):
+    """Minimum end-to-end slice: synthetic constant-flow batch, a few
+    Adam+AGC steps, loss must drop."""
+    model, variables = flow_setup
+    state = create_flow_train_state(model, variables, learning_rate=3e-4)
+    step = jax.jit(make_flow_train_step())
+
+    rng = np.random.RandomState(0)
+    ims = rng.uniform(-0.5, 0.5, (2, H, W, 6)).astype(np.float32)
+    flo = np.tile(np.asarray([2.0, -1.0], np.float32), (2, H, W, 1))
+    batch = {"ims": jnp.asarray(ims), "flo": jnp.asarray(flo)}
+
+    state, m0 = step(state, batch)
+    first = float(m0["loss"])
+    for _ in range(8):
+        state, m = step(state, batch)
+    last = float(m["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_interp_training_runs(interp_setup):
+    model, variables = interp_setup
+    state = create_flow_train_state(model, variables, learning_rate=3e-4)
+    step = jax.jit(make_interp_train_step())
+    rng = np.random.RandomState(0)
+    ims = rng.uniform(-0.5, 0.5, (1, H, W, 6)).astype(np.float32)
+    mid = rng.uniform(-0.5, 0.5, (1, H, W, 3)).astype(np.float32)
+    batch = {"ims": jnp.asarray(ims), "mid": jnp.asarray(mid)}
+    state, m0 = step(state, batch)
+    for _ in range(4):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert set(k for k in m if k.startswith("img_")) == {
+        f"img_{i}_loss" for i in range(6)
+    }
+
+
+def test_nan_input_scrubbed_grads(flow_setup):
+    """A NaN in the batch must not poison the update (train.py:120
+    NaN-grad zeroing is part of the optimizer chain)."""
+    model, variables = flow_setup
+    state = create_flow_train_state(model, variables)
+    step = jax.jit(make_flow_train_step())
+    ims = np.zeros((1, H, W, 6), np.float32)
+    flo = np.zeros((1, H, W, 2), np.float32)
+    flo[0, 0, 0, 0] = np.nan
+    state2, m = step(
+        state, {"ims": jnp.asarray(ims), "flo": jnp.asarray(flo)}
+    )
+    # params must remain finite even though the loss is NaN
+    leaves = jax.tree_util.tree_leaves(state2.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
