@@ -194,7 +194,12 @@ class PWCInterpolator(nn.Module):
             for i in range(n)
         ]
 
-    def __call__(self, inputs, train: bool = False):
+    def __call__(self, inputs, train: bool = False,
+                 return_flows: bool = False):
+        """return_flows=True additionally returns the bidirectional
+        multiscale flows (flos_01, flos_10) — the role of the reference's
+        flow-submodel extraction by layer name 'lambda_11'
+        (pre_train_test.py:102-106), without the name fishing."""
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
         encs_prv = self.encoder(img_prv, train=train)
         encs_nxt = self.encoder(img_nxt, train=train)
@@ -229,7 +234,10 @@ class PWCInterpolator(nn.Module):
         imgs.append(upsample2x_bilinear(img, scale=1.0))
 
         imgs = [im.astype(jnp.float32) for im in imgs]
-        return imgs if train else imgs[-1]
+        out = imgs if train else imgs[-1]
+        if return_flows:
+            return out, (flos_01, flos_10)
+        return out
 
 
 def _init_variables(model, rng, init_hw):

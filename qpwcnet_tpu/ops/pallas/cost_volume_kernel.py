@@ -40,7 +40,7 @@ def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, sem, *, r: int, th: int,
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Pull the haloed nxt tile (C, TH+2r, W+2r) into VMEM.
+    # Pull the haloed nxt tile (C, TH+2r, W+2r->Wp) into VMEM.
     dma = pltpu.make_async_copy(
         nxt_hbm.at[b, :, pl.ds(i * th, th + 2 * r), :],
         scratch,
@@ -52,6 +52,9 @@ def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, sem, *, r: int, th: int,
     prv = prv_ref[0]  # (C, TH, W), native dtype
     for di in range(d):
         for dj in range(d):
+            # (A roll-based shifted-window variant was tried to avoid
+            # per-displacement relayouts, but Mosaic unrolled it into a
+            # >4GB executable; static slices compile compactly.)
             roi = scratch[:, di:di + th, dj:dj + w]
             # f32 accumulator via the sum dtype — avoids materializing
             # full f32 copies of the tiles on the Mosaic stack.

@@ -4,5 +4,18 @@ from qpwcnet_tpu.parallel.mesh import (
     replicate,
     make_parallel_step,
 )
+from qpwcnet_tpu.parallel.multihost import (
+    initialize_distributed,
+    make_global_batch,
+    is_primary,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "make_parallel_step"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "make_parallel_step",
+    "initialize_distributed",
+    "make_global_batch",
+    "is_primary",
+]

@@ -19,6 +19,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -33,7 +34,12 @@ def trace(log_dir: str):
 
 
 def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2):
-    """Median wall time of fn(*args) with block_until_ready."""
+    """Median wall time of fn(*args) with block_until_ready.
+
+    NOTE: on execution environments that result-cache identical device
+    executions (the axon remote tunnel does), repeated identical calls
+    measure cache hits, not compute — use :func:`time_fn_chained`.
+    """
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -44,6 +50,28 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2):
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def time_fn_chained(fn: Callable, x0, iters: int = 10):
+    """Wall time per call of a single-argument fn with a serial
+    output->input dependency chain: x_{i+1} = x0 * (1 + eps(out_i)).
+    Defeats async pipelining AND remote result caching. fn must accept
+    and return (pytrees of) arrays; the feedback perturbation is a
+    scalar derived from the output, so per-iteration overhead is tiny.
+    """
+    out = fn(x0)  # warmup/compile
+    jax.block_until_ready(out)
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        eps = 1e-6 * jnp.mean(leaf.astype(jnp.float32))
+        x = jax.tree_util.tree_map(
+            lambda a: a + eps.astype(a.dtype), x
+        )
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / iters
 
 
 def cost_analysis(fn: Callable, *args) -> dict:
