@@ -21,6 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize sets jax_platforms='axon,cpu' programmatically
+# at interpreter start, overriding the env var — force CPU back here
+# (before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: full-model CPU compiles take minutes on this
 # 1-core host; cache them across pytest runs.
