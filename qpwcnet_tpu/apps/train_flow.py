@@ -48,17 +48,24 @@ class Settings:
 
 
 def _synthetic_batches(cfg: Settings):
-    """Random-image, constant-per-sample-flow batches for smoke runs."""
+    """Learnable synthetic pairs: smooth random textures displaced by a
+    known integer flow (nxt[p] shifted so prv[p] == nxt[p + flow]), for
+    end-to-end training validation without datasets."""
     rng = np.random.RandomState(cfg.seed)
+    h, w = cfg.height, cfg.width
     while True:
-        ims = rng.randint(
-            0, 255,
-            (cfg.batch_size, cfg.height, cfg.width, 6), np.uint8)
-        flo = np.tile(
-            rng.uniform(-8, 8, (cfg.batch_size, 1, 1, 2)).astype(
-                np.float32),
-            (1, cfg.height, cfg.width, 1),
-        )
+        ims = np.empty((cfg.batch_size, h, w, 6), np.uint8)
+        flo = np.empty((cfg.batch_size, h, w, 2), np.float32)
+        for k in range(cfg.batch_size):
+            # smooth texture: blurred noise (correlation helps matching)
+            base = rng.uniform(0, 255, (h // 4, w // 4, 3))
+            prv = np.kron(base, np.ones((4, 4, 1)))[:h, :w]
+            u, v = rng.randint(-8, 9, size=2)
+            # prv[i, j] == nxt[i + v, j + u]  =>  nxt = roll(prv, (v, u))
+            nxt = np.roll(prv, shift=(v, u), axis=(0, 1))
+            ims[k] = np.concatenate(
+                [prv, nxt], axis=-1).astype(np.uint8)
+            flo[k] = np.asarray([u, v], np.float32)
         yield ims, flo
 
 
