@@ -61,7 +61,8 @@ def main(cfg: Settings):
         PrefetchLoader, preprocess_triplet_batch, triplet_sample_fn)
     from qpwcnet_tpu.models import build_interpolator
     from qpwcnet_tpu.parallel import (
-        make_mesh, make_parallel_step, replicate, shard_batch)
+        make_mesh_for_batch, make_parallel_step, replicate,
+        shard_batch)
     from qpwcnet_tpu.train import (
         create_interp_train_state, make_interp_train_step)
     from qpwcnet_tpu.train.checkpoint import CheckpointManager
@@ -89,7 +90,7 @@ def main(cfg: Settings):
     else:
         state = ckpt.restore(state)
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.batch_size)
     state = replicate(state, mesh)
     step_fn = make_parallel_step(make_interp_train_step(), mesh)
 

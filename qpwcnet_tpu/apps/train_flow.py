@@ -108,7 +108,8 @@ def main(cfg: Settings):
     from qpwcnet_tpu.data.pipeline import preprocess_flow_batch
     from qpwcnet_tpu.models import build_flow_net
     from qpwcnet_tpu.parallel import (
-        make_mesh, make_parallel_step, replicate, shard_batch)
+        make_mesh_for_batch, make_parallel_step, replicate,
+        shard_batch)
     from qpwcnet_tpu.train import (
         create_flow_train_state, make_flow_train_step)
     from qpwcnet_tpu.train.checkpoint import CheckpointManager
@@ -146,7 +147,7 @@ def main(cfg: Settings):
     else:
         state = ckpt.restore(state)  # auto-resume
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.batch_size)
     state = replicate(state, mesh)
     step_fn = make_parallel_step(make_flow_train_step(), mesh)
 

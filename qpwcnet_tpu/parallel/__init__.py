@@ -1,5 +1,6 @@
 from qpwcnet_tpu.parallel.mesh import (
     make_mesh,
+    make_mesh_for_batch,
     shard_batch,
     replicate,
     make_parallel_step,
@@ -12,6 +13,7 @@ from qpwcnet_tpu.parallel.multihost import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_for_batch",
     "shard_batch",
     "replicate",
     "make_parallel_step",

@@ -14,6 +14,7 @@ jax.make_array_from_process_local_data.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Sequence
 
 import jax
@@ -36,6 +37,20 @@ def make_mesh(
         n_data, n_model
     )
     return Mesh(dev_array, ("data", "model"))
+
+
+def make_mesh_for_batch(
+    batch_size: int,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Mesh whose data axis is the largest device count that divides
+    ``batch_size`` — so :func:`shard_batch` never hits a divisibility
+    error, whatever the batch/device combination (e.g. batch 2 on 8
+    virtual devices uses a 2-device data axis)."""
+    if devices is None:
+        devices = jax.devices()
+    n_data = math.gcd(batch_size, len(devices))
+    return make_mesh(n_data=n_data, devices=devices)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -19,6 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # Make the repo importable no matter how pytest was invoked.
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# dryrun_multichip re-execs itself into a CPU-forced subprocess unless
+# this marker is set; under pytest the platform is already forced, so
+# run it in-process (the subprocess path has its own slow-marked test).
+os.environ["_QPWCNET_DRYRUN_CHILD"] = "1"
+
 import jax  # noqa: E402
 
 # The axon sitecustomize sets jax_platforms='axon,cpu' programmatically

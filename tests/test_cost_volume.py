@@ -40,8 +40,8 @@ def test_xla_matches_numpy_oracle():
 def _pallas_interpret(prv, nxt, **kw):
     """Run the fused kernel in interpreter mode (CPU test platform).
 
-    On real TPU hardware the compiled kernel is covered by
-    tests/test_tpu_smoke.py and the bench harness.
+    On real TPU hardware the compiled kernel is equality-checked
+    against cost_volume_xla by bench.py (--check, run by the driver).
     """
     return np.asarray(
         cost_volume_pallas(

