@@ -26,11 +26,144 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def check_compiled_kernels():
+    """On-TPU equality gate for the COMPILED Pallas cost-volume kernel
+    (fwd + both bwd kernels) vs the XLA formulation — interpret-mode
+    tests don't exercise Mosaic compilation (VERDICT r1 weak #3)."""
+    from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+    from qpwcnet_tpu.ops.pallas.cost_volume_kernel import cost_volume_pallas
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    prv = jax.random.normal(k1, (2, 56, 128, 32), jnp.float32)
+    nxt = jax.random.normal(k2, (2, 56, 128, 32), jnp.float32)
+    o_x = cost_volume_xla(prv, nxt, 4)
+    o_p = cost_volume_pallas(prv, nxt, 4)
+    fwd_err = float(jnp.max(jnp.abs(o_x - o_p)))
+
+    def loss(op):
+        return lambda p, n: jnp.sum(jnp.sin(op(p, n, 4)))
+
+    gx = jax.grad(loss(cost_volume_xla), (0, 1))(prv, nxt)
+    gp = jax.grad(loss(cost_volume_pallas), (0, 1))(prv, nxt)
+    dprv_err = float(jnp.max(jnp.abs(gx[0] - gp[0])))
+    dnxt_err = float(jnp.max(jnp.abs(gx[1] - gp[1])))
+    log(f"compiled-kernel equality vs XLA: fwd {fwd_err:.2e} "
+        f"dprv {dprv_err:.2e} dnxt {dnxt_err:.2e}")
+    assert fwd_err < 1e-4 and dprv_err < 1e-4 and dnxt_err < 1e-4, (
+        fwd_err, dprv_err, dnxt_err)
+
+
+def bench_chained(forward, x, feedback, windows: int = 5, iters: int = 8):
+    """Best-of-N-windows timing of forward(x) with a serial
+    output->input dependency (feedback(x, out) -> next x). The chain
+    defeats async-dispatch pipelining and the remote tunnel's result
+    caching; best-of-windows rides out the shared tunnel's >2x
+    run-to-run variance."""
+    out = forward(x)
+    jax.block_until_ready(out)
+    best_dt = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward(x)
+            x = feedback(x, out)
+        jax.block_until_ready(x)
+        dt = (time.perf_counter() - t0) / iters
+        best_dt = min(best_dt, dt)
+    return best_dt
+
+
+def bench_train_steps(dtype):
+    """Configs 3-4 of BASELINE.json: supervised flow train step
+    (256x512, bs=16 — reference train.py:503) and interp pretrain step
+    (256x512, bs=8 — reference pre_train.py:32). The evolving TrainState
+    is itself the serial chain (params change every step), so repeated
+    calls can never be replayed from the result cache."""
+    from qpwcnet_tpu.models import build_flow_net, build_interpolator
+    from qpwcnet_tpu.train.train_state import (
+        create_flow_train_state, make_flow_train_step,
+        make_interp_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    results = {}
+    for name, build, bs, batch_keys in (
+        ("train_flow", build_flow_net, 16, ("ims", "flo")),
+        ("pretrain_interp", build_interpolator, 8, ("ims", "mid")),
+    ):
+        model, variables = build(jax.random.key(0), (256, 512), dtype=dtype)
+        state = create_flow_train_state(model, variables)
+        step = jax.jit(make_flow_train_step() if name == "train_flow"
+                       else make_interp_train_step())
+        batch = {
+            "ims": jnp.asarray(rng.uniform(
+                -0.5, 0.5, (bs, 256, 512, 6)).astype(np.float32)),
+        }
+        if "flo" in batch_keys:
+            batch["flo"] = jnp.asarray(rng.uniform(
+                -8, 8, (bs, 256, 512, 2)).astype(np.float32))
+        else:
+            batch["mid"] = jnp.asarray(rng.uniform(
+                -0.5, 0.5, (bs, 256, 512, 3)).astype(np.float32))
+
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        jax.block_until_ready(state.params)
+        log(f"{name}: compile+first-step {time.perf_counter() - t0:.1f}s "
+            f"loss={float(metrics['loss']):.4f}")
+        best_dt = float("inf")
+        for w in range(4):
+            t0 = time.perf_counter()
+            for _ in range(6):
+                state, metrics = step(state, batch)
+            jax.block_until_ready(state.params)
+            best_dt = min(best_dt, (time.perf_counter() - t0) / 6)
+        img_s = bs / best_dt
+        log(f"{name}: {best_dt * 1e3:.2f} ms/step -> {img_s:.1f} img/s "
+            f"(reference pretrain ~6.6 img/s)")
+        results[f"{name}_img_per_s"] = round(img_s, 2)
+    return results
+
+
+def bench_int8(hw, batch):
+    """Config 5 of BASELINE.json: true-int8 inference (QAT deployment
+    path; int8 x int8 -> int32 MXU convs end-to-end incl. the decoder's
+    transpose convs)."""
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.quantize import QuantConfig
+
+    model, variables = build_flow_net(
+        jax.random.key(0), hw, quant=QuantConfig(mode="int8"))
+
+    @jax.jit
+    def forward(variables, ims):
+        return model.apply(variables, ims, train=False)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(
+        -0.5, 0.5, (batch, hw[0], hw[1], 6)).astype(np.float32))
+    t0 = time.perf_counter()
+    out = forward(variables, x)
+    jax.block_until_ready(out)
+    log(f"int8: compile+first-run {time.perf_counter() - t0:.1f}s")
+    best_dt = bench_chained(
+        lambda xx: forward(variables, xx),
+        x,
+        lambda xx, out: xx + 1e-2 * jnp.concatenate(
+            [out, out, out], axis=-1),
+        windows=4, iters=6,
+    )
+    pairs_s = batch / best_dt
+    log(f"int8 inference: {best_dt * 1e3:.2f} ms -> {pairs_s:.1f} pairs/s")
+    return round(pairs_s, 2)
+
+
 def main():
     from qpwcnet_tpu.models import build_flow_net
     from qpwcnet_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    check_compiled_kernels()
 
     hw = (448, 1024)
     batch = 8
@@ -81,12 +214,40 @@ def main():
     pairs_per_sec = batch / best_dt
     log(f"best: {best_dt * 1e3:.2f} ms -> {pairs_per_sec:.1f} pairs/s")
 
+    # HBM-bandwidth utilization of the headline forward (XLA's own
+    # bytes-accessed estimate over the measured step time vs v5e peak).
+    from qpwcnet_tpu.utils.profiling import cost_analysis
+    extras = {}
+    try:
+        ca = cost_analysis(lambda v, i: model.apply(v, i, train=False),
+                           variables, x)
+        if "bytes accessed" in ca:
+            gb = float(ca["bytes accessed"]) / 1e9
+            peak_gb_s = 819.0  # v5e HBM bandwidth
+            util = gb / best_dt / peak_gb_s
+            log(f"bytes accessed {gb:.2f} GB -> "
+                f"{gb / best_dt:.0f} GB/s = {util * 100:.0f}% of v5e peak")
+            extras["hbm_gb_per_s"] = round(gb / best_dt, 1)
+            extras["hbm_util_vs_v5e_peak"] = round(util, 3)
+    except Exception as e:  # cost analysis is best-effort diagnostics
+        log(f"cost_analysis unavailable: {e}")
+
+    try:
+        extras.update(bench_train_steps(dtype))
+    except Exception as e:
+        log(f"train-step bench failed: {e}")
+    try:
+        extras["int8_pairs_per_s"] = bench_int8(hw, batch)
+    except Exception as e:
+        log(f"int8 bench failed: {e}")
+
     print(json.dumps({
         "metric": "flow image-pairs/sec/chip at 448x1024 (batch=8, "
                   "multiscale inference)",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        **extras,
     }))
 
 

@@ -79,13 +79,18 @@ def _iter_records(stream: io.BufferedReader,
             return
         (length,) = struct.unpack("<Q", header[:8])
         data = stream.read(length)
-        stream.read(4)  # data crc
+        footer = stream.read(4)  # data crc
         if len(data) < length:
             return
         if verify_crc:
             (len_crc,) = struct.unpack("<I", header[8:12])
             if _mask_add(_masked_crc(header[:8])) != len_crc:
                 raise ValueError("TFRecord length CRC mismatch")
+            if len(footer) < 4:
+                raise ValueError("TFRecord truncated data CRC")
+            (data_crc,) = struct.unpack("<I", footer)
+            if _mask_add(_masked_crc(data)) != data_crc:
+                raise ValueError("TFRecord data CRC mismatch")
         yield data
 
 

@@ -34,8 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, sem, *, r: int, th: int,
-               w: int, inv_c: float):
+def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, shiftb, sem, *, r: int,
+               th: int, w: int, inv_c: float):
     d = 2 * r + 1
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -50,12 +50,22 @@ def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, sem, *, r: int, th: int,
     dma.wait()
 
     prv = prv_ref[0]  # (C, TH, W), native dtype
-    for di in range(d):
-        for dj in range(d):
-            # (A roll-based shifted-window variant was tried to avoid
-            # per-displacement relayouts, but Mosaic unrolled it into a
-            # >4GB executable; static slices compile compactly.)
-            roi = scratch[:, di:di + th, dj:dj + w]
+    for dj in range(d):
+        # Hoist the lane-axis (W) shift: ONE unaligned-lane relayout of
+        # the haloed tile per dj instead of one per (di, dj) pair — lane
+        # relayouts are the dominant kernel overhead (measured; cf.
+        # DESIGN.md "81 per-displacement relayout copies"). The di slice
+        # below is a sublane-axis slice of the scratch. The shift goes
+        # through an EXPLICIT VMEM scratch buffer: a plain slice temp
+        # lets Mosaic's scheduler keep all d per-dj temps live at once
+        # (observed 22.5 MB scoped-vmem stack OOM); the buffer write
+        # serializes the dj groups and bounds liveness to one copy.
+        # (A roll-based variant was tried instead of slices, but Mosaic
+        # unrolled it into a >4GB executable; static slices compile
+        # compactly.)
+        shiftb[:] = scratch[:, :, dj:dj + w]  # (C, TH+2r, W)
+        for di in range(d):
+            roi = shiftb[:, di:di + th, :]
             # f32 accumulator via the sum dtype — avoids materializing
             # full f32 copies of the tiles on the Mosaic stack.
             acc = jnp.sum(prv * roi, axis=0, dtype=jnp.float32) * inv_c
@@ -75,9 +85,11 @@ def cost_volume_pallas(
     """Fused cost volume. prv, nxt: (B, H, W, C) -> (B, H, W, (2r+1)²).
 
     Semantics identical to cost_volume_xla (zero-padded nxt, channel-mean
-    correlation, leaky_relu(0.1)). Differentiable: the backward pass
-    reuses the XLA formulation's VJP (pallas_call has no JVP rule); a
-    dedicated backward kernel is a future optimization.
+    correlation, leaky_relu(0.1)). Differentiable both ways in Pallas:
+    the backward pass runs two dedicated VMEM-resident kernels
+    (:func:`_cv_bwd_prv_kernel` / :func:`_cv_bwd_nxt_kernel`) — the XLA
+    VJP of the shift-and-multiply formulation balloons to ~36 GB of HBM
+    temporaries at 448x1024 b8 (DESIGN.md).
     """
     return _cost_volume_pallas_impl(
         prv, nxt, search_range=search_range, tile_h=tile_h,
@@ -90,20 +102,233 @@ def _cv_pallas_fwd(prv, nxt, search_range, tile_h, interpret):
         prv, nxt, search_range=search_range, tile_h=tile_h,
         interpret=interpret,
     )
-    return out, (prv, nxt)
+    # Residuals: out is kept (it is live downstream anyway) so the
+    # leaky-relu mask needs no recompute: sign(out) == sign(acc).
+    return out, (prv, nxt, out)
 
 
 def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
-    from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
-
-    prv, nxt = res
-    _, vjp = jax.vjp(
-        lambda p, n: cost_volume_xla(p, n, search_range), prv, nxt
-    )
-    return vjp(g)
+    prv, nxt, out = res
+    # d(leaky_relu)/d(acc) from the saved output sign; elementwise, XLA
+    # fuses it into the producers of g.
+    dacc = (g * jnp.where(out > 0, 1.0, 0.1).astype(g.dtype))
+    dprv = _cv_bwd_prv_impl(
+        dacc, nxt, search_range=search_range, tile_h=tile_h,
+        interpret=interpret,
+    ).astype(prv.dtype)
+    dnxt = _cv_bwd_nxt_impl(
+        dacc, prv, search_range=search_range, tile_h=tile_h,
+        interpret=interpret,
+    ).astype(nxt.dtype)
+    return dprv, dnxt
 
 
 cost_volume_pallas.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
+
+
+def _pick_tile_h_bwd(
+    h: int, w: int, c: int, d: int, itemsize: int, r: int,
+    dacc_halo: bool, budget: int = 10 * 1024 * 1024,
+) -> int:
+    """Row-tile size for the backward kernels. Counts the
+    double-buffered blocks, the haloed DMA scratches, the per-dj shift
+    buffers, the f32 accumulator AND a worst-case allowance for the
+    inner unrolled loop's product temporaries — Mosaic's scheduler can
+    keep all d per-iteration temps live at once (observed 37 MB
+    scoped-vmem stack OOM without this term)."""
+    w_lane = ((w + 127) // 128) * 128
+    wp = ((w + 2 * r + 127) // 128) * 128
+    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+    for cand in range(128, 7, -8):
+        thp = rup(cand)
+        hal = rup(cand + 2 * r)
+        need = (
+            2 * 4 * c * thp * w_lane            # f32 out block x2
+            + 4 * c * thp * w_lane              # f32 accumulator
+            + d * c * thp * w_lane * (itemsize + 4)  # unrolled temps
+        )
+        if dacc_halo:
+            # dnxt kernel: haloed dacc + prv DMAs and both shift bufs.
+            need += (
+                itemsize * d * d * (hal * wp + hal * w_lane)
+                + itemsize * c * (hal * wp + hal * w_lane)
+            )
+        else:
+            # dprv kernel: dacc arrives as a VMEM block (x2 buffered),
+            # nxt is the haloed DMA + shift buffer.
+            need += (
+                2 * itemsize * d * d * thp * w_lane
+                + itemsize * c * (hal * wp + hal * w_lane)
+            )
+        if need <= budget:
+            return cand
+    return 8
+
+
+def _cv_bwd_prv_kernel(dacc_ref, nxt_hbm, out_ref, halo, shiftb, acc,
+                       sem, *, r: int, th: int, w: int, inv_c: float):
+    """dprv[c,y,x] = inv_c * sum_k dacc[k,y,x] * nxt_pad[c, y+di, x+dj].
+
+    Same haloed-tile structure as the forward kernel with the roles of
+    the 81-channel tensor and the C-channel tensor swapped. Static
+    slices only (Mosaic cannot compile dynamic sublane/lane offsets);
+    the per-dj lane shift goes through an explicit scratch buffer whose
+    write serializes the dj groups and bounds temp liveness, and the
+    81-term sum accumulates into an explicit f32 VMEM scratch.
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        nxt_hbm.at[b, :, pl.ds(i * th, th + 2 * r), :], halo, sem
+    )
+    dma.start()
+    dma.wait()
+
+    acc[:] = jnp.zeros_like(acc)
+    for dj in range(d):
+        shiftb[:] = halo[:, :, dj:dj + w]
+        for di in range(d):
+            prod = dacc_ref[0, di * d + dj][None] * shiftb[:, di:di + th, :]
+            acc[:] += prod.astype(jnp.float32)
+    out_ref[0] = (acc[:] * inv_c).astype(out_ref.dtype)
+
+
+def _cv_bwd_nxt_kernel(dacc_hbm, prv_hbm, out_ref, dacc_s, prv_s,
+                       shift_d, shift_p, acc, sem, *, r: int, th: int,
+                       w: int, inv_c: float):
+    """dnxt[c,u,v] = inv_c * sum_k (dacc*prv)[k,c, u+2r-di, v+2r-dj]
+    over the r-zero-padded product — the correlation with displacements
+    reversed (channel for shift (di,dj) is d*d-1 - (di*d+dj)). Both
+    operands arrive r-padded; halo rows/cols beyond the image are zero
+    so padded positions contribute nothing. Same static-slice /
+    shift-buffer structure as _cv_bwd_prv_kernel.
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma_d = pltpu.make_async_copy(
+        dacc_hbm.at[b, :, pl.ds(i * th, th + 2 * r), :], dacc_s,
+        sem.at[0],
+    )
+    dma_p = pltpu.make_async_copy(
+        prv_hbm.at[b, :, pl.ds(i * th, th + 2 * r), :], prv_s,
+        sem.at[1],
+    )
+    dma_d.start()
+    dma_p.start()
+    dma_d.wait()
+    dma_p.wait()
+
+    acc[:] = jnp.zeros_like(acc)
+    for dj in range(d):
+        shift_d[:] = dacc_s[:, :, dj:dj + w]
+        shift_p[:] = prv_s[:, :, dj:dj + w]
+        for di in range(d):
+            k = d * d - 1 - (di * d + dj)
+            prod = (shift_d[k, di:di + th, :][None]
+                    * shift_p[:, di:di + th, :])
+            acc[:] += prod.astype(jnp.float32)
+    out_ref[0] = (acc[:] * inv_c).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
+)
+def _cv_bwd_prv_impl(dacc, nxt, search_range=4, tile_h=None,
+                     interpret=False):
+    r = search_range
+    d = 2 * r + 1
+    b, h, w, c = nxt.shape
+    th = tile_h or _pick_tile_h_bwd(
+        h, w, c, d, nxt.dtype.itemsize, r, dacc_halo=False)
+    th = min(th, max(8, ((h + 7) // 8) * 8))
+    hp = ((h + th - 1) // th) * th
+    wp = ((w + 2 * r + 127) // 128) * 128
+
+    dacc_t = dacc.transpose(0, 3, 1, 2)           # (B, d*d, H, W)
+    nxt_t = nxt.transpose(0, 3, 1, 2)             # (B, C, H, W)
+    if hp != h:
+        dacc_t = jnp.pad(dacc_t, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    nxt_t = jnp.pad(
+        nxt_t, ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r))
+    )
+    kernel = functools.partial(
+        _cv_bwd_prv_kernel, r=r, th=th, w=w, inv_c=1.0 / c
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, w), jnp.float32),
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec((1, d * d, th, w), lambda bi, ti: (bi, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, th, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, th + 2 * r, wp), nxt_t.dtype),
+            pltpu.VMEM((c, th + 2 * r, w), nxt_t.dtype),
+            pltpu.VMEM((c, th, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(dacc_t, nxt_t)
+    return out[:, :, :h, :].transpose(0, 2, 3, 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
+)
+def _cv_bwd_nxt_impl(dacc, prv, search_range=4, tile_h=None,
+                     interpret=False):
+    r = search_range
+    d = 2 * r + 1
+    b, h, w, c = prv.shape
+    wp = ((w + 2 * r + 127) // 128) * 128
+    itemsize = max(dacc.dtype.itemsize, prv.dtype.itemsize)
+    th = tile_h or _pick_tile_h_bwd(
+        h, w, c, d, itemsize, r, dacc_halo=True)
+    th = min(th, max(8, ((h + 7) // 8) * 8))
+    hp = ((h + th - 1) // th) * th
+
+    dacc_t = jnp.pad(
+        dacc.transpose(0, 3, 1, 2),
+        ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r)),
+    )
+    prv_t = jnp.pad(
+        prv.transpose(0, 3, 1, 2),
+        ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r)),
+    )
+    kernel = functools.partial(
+        _cv_bwd_nxt_kernel, r=r, th=th, w=w, inv_c=1.0 / c
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, w), jnp.float32),
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, th, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d * d, th + 2 * r, wp), dacc_t.dtype),
+            pltpu.VMEM((c, th + 2 * r, wp), prv_t.dtype),
+            pltpu.VMEM((d * d, th + 2 * r, w), dacc_t.dtype),
+            pltpu.VMEM((c, th + 2 * r, w), prv_t.dtype),
+            pltpu.VMEM((c, th, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(dacc_t, prv_t)
+    return out[:, :, :h, :].transpose(0, 2, 3, 1)
 
 
 @functools.partial(
@@ -137,6 +362,7 @@ def _cost_volume_pallas_impl(
                 2 * itemsize * c * thp * w_lane          # prv block x2
                 + 2 * itemsize * d * d * thp * w_lane    # out block x2
                 + itemsize * c * rup(cand + 2 * r) * wp_for(w)  # scratch
+                + itemsize * c * rup(cand + 2 * r) * w_lane  # shift buffer
                 + itemsize * c * thp * w_lane            # product temp
                 + 2 * 4 * thp * w_lane                   # f32 acc tiles
             )
@@ -184,6 +410,7 @@ def _cost_volume_pallas_impl(
         ),
         scratch_shapes=[
             pltpu.VMEM((c, th + 2 * r, wp), nxt_t.dtype),
+            pltpu.VMEM((c, th + 2 * r, w), nxt_t.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -49,12 +49,29 @@ def int8_conv_apply(
     k_q = quantize_tensor(kernel.astype(jnp.float32), s_w, qmax)
 
     if transpose:
-        y = jax.lax.conv_transpose(
-            x_q.astype(jnp.int32),
-            k_q.astype(jnp.int32),
-            strides=tuple(strides),
-            padding=padding,
+        # conv_transpose spelled as an input-dilated conv so both
+        # operands stay int8 on the MXU (conv_transpose has no
+        # preferred_element_type parameter): window_strides=1,
+        # lhs_dilation=strides, with conv_transpose's SAME/VALID
+        # padding arithmetic (un-flipped kernel, matching
+        # jax.lax.conv_transpose's transpose_kernel=False default).
+        pads = []
+        for k_dim, s in zip(k_q.shape[:2], strides):
+            if padding == "SAME":
+                pad_len = k_dim + s - 2
+                pad_a = k_dim - 1 if s > k_dim - 1 else -(-pad_len // 2)
+            else:  # VALID
+                pad_len = k_dim + s - 2 + max(k_dim - s, 0)
+                pad_a = k_dim - 1
+            pads.append((pad_a, pad_len - pad_a))
+        y = jax.lax.conv_general_dilated(
+            x_q,
+            k_q,
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=tuple(strides),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
         )
     else:
         y = jax.lax.conv_general_dilated(

@@ -66,9 +66,17 @@ def time_fn_chained(fn: Callable, x0, iters: int = 10):
     for _ in range(iters):
         out = fn(x)
         leaf = jax.tree_util.tree_leaves(out)[0]
-        eps = 1e-6 * jnp.mean(leaf.astype(jnp.float32))
+        # Multiplicative perturbation with a constant term >= 2^-7 so it
+        # survives bf16 rounding — an additive 1e-6 epsilon rounds away
+        # in bf16 inputs, making every iteration bit-identical and
+        # letting the remote result cache fake ~400x speedups (observed).
+        scale = 1.0 + 7.8e-3 * (
+            1.0 + 0.1 * jnp.tanh(jnp.mean(leaf.astype(jnp.float32)))
+        )
         x = jax.tree_util.tree_map(
-            lambda a: a + eps.astype(a.dtype), x
+            lambda a: (a * scale.astype(a.dtype)
+                       if jnp.issubdtype(a.dtype, jnp.floating) else a),
+            x,
         )
     jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
