@@ -21,9 +21,10 @@ from qpwcnet_tpu.utils.config import with_args
 class Settings:
     data_path: str = ""       # sintel shard glob or directory root
     load_ckpt: str = ""
-    height: int = 448
-    width: int = 1024
     limit: int = 0            # 0 = all
+    protocol: str = "pad"     # 'pad' (standard) | 'resize'
+    height: int = 448         # resize protocol only
+    width: int = 1024         # resize protocol only
 
 
 @with_args(Settings)
@@ -33,8 +34,7 @@ def main(cfg: Settings):
     from qpwcnet_tpu.train import create_flow_train_state, epe_error
     from qpwcnet_tpu.train.checkpoint import CheckpointManager
 
-    model, variables = build_flow_net(
-        jax.random.key(0), (cfg.height, cfg.width))
+    model, variables = build_flow_net(jax.random.key(0))
     if cfg.load_ckpt:
         state = create_flow_train_state(model, variables)
         mgr = CheckpointManager(cfg.load_ckpt)
@@ -64,11 +64,22 @@ def main(cfg: Settings):
             break
         h0, w0 = ims_u8.shape[:2]
         ims = jnp.asarray(ims_u8[None].astype(np.float32) / 255.0)
-        ims = resize_bilinear(ims, (cfg.height, cfg.width)) - 0.5
-        flo = forward(ims)
-        # evaluate at ORIGINAL resolution: upsample pred back + rescale
-        flo_full = resize_bilinear(flo, (h0, w0)) * jnp.asarray(
-            [w0 / cfg.width, h0 / cfg.height])
+        if cfg.protocol == "pad":
+            # Standard Sintel protocol: zero-pad the 436x1024 native
+            # frames up to the model's /32 shape (448x1024), run at
+            # native scale, crop the prediction back — flow magnitudes
+            # are untouched (no resize-and-rescale distortion).
+            hp = -(-h0 // 32) * 32
+            wp = -(-w0 // 32) * 32
+            ims = jnp.pad(
+                ims, ((0, 0), (0, hp - h0), (0, wp - w0), (0, 0)))
+            flo_full = forward(ims - 0.5)[:, :h0, :w0]
+        else:
+            ims = resize_bilinear(ims, (cfg.height, cfg.width)) - 0.5
+            flo = forward(ims)
+            # upsample pred back to original resolution + rescale
+            flo_full = resize_bilinear(flo, (h0, w0)) * jnp.asarray(
+                [w0 / cfg.width, h0 / cfg.height])
         epe = float(epe_error(jnp.asarray(flo_gt[None]), flo_full))
         epes.append(epe)
         if (i + 1) % 50 == 0:
@@ -79,6 +90,7 @@ def main(cfg: Settings):
         "metric": "sintel EPE",
         "value": float(np.mean(epes)) if epes else None,
         "n": len(epes),
+        "protocol": cfg.protocol,
     }))
 
 

@@ -61,8 +61,8 @@ def main(cfg: Settings):
         PrefetchLoader, preprocess_triplet_batch, triplet_sample_fn)
     from qpwcnet_tpu.models import build_interpolator
     from qpwcnet_tpu.parallel import (
-        make_mesh_for_batch, make_parallel_step, replicate,
-        shard_batch)
+        make_mesh_for_batch, make_parallel_step, put_batch,
+        replicate)
     from qpwcnet_tpu.train import (
         create_interp_train_state, make_interp_train_step)
     from qpwcnet_tpu.train.checkpoint import CheckpointManager
@@ -97,7 +97,9 @@ def main(cfg: Settings):
     dataset = _make_dataset(cfg)
     loader = PrefetchLoader(
         triplet_sample_fn(dataset, (cfg.height, cfg.width)),
-        len(dataset), cfg.batch_size)
+        len(dataset), cfg.batch_size,
+        shard_index=jax.process_index(),
+        shard_count=jax.process_count())
     batches = iter(loader)
 
     writer = MetricWriter(paths["log"])
@@ -111,7 +113,7 @@ def main(cfg: Settings):
             batch = preprocess_triplet_batch(
                 sub, jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
                 augment=cfg.augment)
-            batch = shard_batch(batch, mesh)
+            batch = put_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             if (i + 1) % cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}

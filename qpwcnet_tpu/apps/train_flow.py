@@ -80,7 +80,10 @@ def _dataset_batches(cfg: Settings):
         def sample(i):
             return decode_pair(*pairs[i])
 
-        loader = PrefetchLoader(sample, len(pairs), cfg.batch_size)
+        loader = PrefetchLoader(
+            sample, len(pairs), cfg.batch_size,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count())
     elif cfg.data == "sintel":
         from pathlib import Path
 
@@ -97,7 +100,10 @@ def _dataset_batches(cfg: Settings):
         def sample(i):
             return parse_sintel_example(records[i])
 
-        loader = PrefetchLoader(sample, len(records), cfg.batch_size)
+        loader = PrefetchLoader(
+            sample, len(records), cfg.batch_size,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count())
     else:
         raise ValueError(f"unknown data source {cfg.data!r}")
     return iter(loader)
@@ -108,8 +114,8 @@ def main(cfg: Settings):
     from qpwcnet_tpu.data.pipeline import preprocess_flow_batch
     from qpwcnet_tpu.models import build_flow_net
     from qpwcnet_tpu.parallel import (
-        make_mesh_for_batch, make_parallel_step, replicate,
-        shard_batch)
+        make_mesh_for_batch, make_parallel_step, put_batch,
+        replicate)
     from qpwcnet_tpu.train import (
         create_flow_train_state, make_flow_train_step)
     from qpwcnet_tpu.train.checkpoint import CheckpointManager
@@ -166,7 +172,7 @@ def main(cfg: Settings):
                 sub, jnp.asarray(ims_u8), jnp.asarray(flo),
                 out_hw=(cfg.height, cfg.width),
                 base_scale=cfg.base_scale, augment=cfg.augment)
-            batch = shard_batch(batch, mesh)
+            batch = put_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             if (i + 1) % cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}

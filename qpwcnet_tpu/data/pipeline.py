@@ -52,7 +52,18 @@ class PrefetchLoader:
         n_workers: int = 4,
         prefetch: int = 2,
         repeat: bool = True,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """shard_index/shard_count: multi-host data sharding — every
+        process shuffles the SAME order (same seed) and keeps the
+        disjoint slice ``order[shard_index::shard_count]``, so the union
+        over processes covers each epoch exactly once with no duplicate
+        samples across hosts. Pass jax.process_index()/process_count()
+        (the tf.data shard() role; single-process defaults are the
+        identity)."""
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"bad shard {shard_index}/{shard_count}")
         self.sample_fn = sample_fn
         self.n_samples = n_samples
         self.batch_size = batch_size
@@ -62,6 +73,8 @@ class PrefetchLoader:
         self.n_workers = n_workers
         self.prefetch = prefetch
         self.repeat = repeat
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -74,7 +87,8 @@ class PrefetchLoader:
                 order = np.arange(self.n_samples)
                 if self.shuffle:
                     rng.shuffle(order)
-                for i in range(0, self.n_samples, self.batch_size):
+                order = order[self.shard_index::self.shard_count]
+                for i in range(0, len(order), self.batch_size):
                     idx = order[i:i + self.batch_size]
                     if self.drop_remainder and len(idx) < self.batch_size:
                         break

@@ -1,6 +1,7 @@
 from qpwcnet_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_for_batch,
+    put_batch,
     shard_batch,
     replicate,
     make_parallel_step,
@@ -14,6 +15,7 @@ from qpwcnet_tpu.parallel.multihost import (
 __all__ = [
     "make_mesh",
     "make_mesh_for_batch",
+    "put_batch",
     "shard_batch",
     "replicate",
     "make_parallel_step",

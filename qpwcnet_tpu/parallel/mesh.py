@@ -62,6 +62,18 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def put_batch(batch, mesh: Mesh):
+    """Place a per-host batch on the mesh: single-process -> plain
+    device_put sharding; multi-host -> assemble the per-process shards
+    into one global data-sharded array (each host loads a disjoint
+    slice via PrefetchLoader(shard_index=process_index))."""
+    if jax.process_count() > 1:
+        from qpwcnet_tpu.parallel.multihost import make_global_batch
+
+        return make_global_batch(batch, mesh)
+    return shard_batch(batch, mesh)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params / train state) over the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -53,6 +53,34 @@ class ActQuant(nn.Module):
         return fake_quant(x, scale.astype(x.dtype), self.quant.qmax)
 
 
+def _depthwise_shift_conv(x, kernel):
+    """Full depthwise conv (stride 1, SAME, odd kernel) as kh*kw shifted
+    elementwise multiply-adds.
+
+    Why not lax.conv with feature_group_count=C: its BACKWARD-FILTER pass
+    lowers to a batch_group_count=C convolution, which XLA:TPU executes
+    catastrophically slowly at the large group counts of this model's
+    SepConv heads (C up to 593 at the coarsest Flow level) — measured
+    3.1 s/step for the 256x512 bs16 train step, ~70x the roofline. The
+    shift form runs on the VPU, fuses, and differentiates into the same
+    shifted elementwise ops (d/dx) plus plain reductions (d/dw).
+
+    x: (B, H, W, C); kernel: (kh, kw, 1, C) -> (B, H, W, C).
+    Taps accumulate in f32 regardless of compute dtype.
+    """
+    kh, kw = kernel.shape[:2]
+    ph, pw = kh // 2, kw // 2
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    acc = None
+    for u in range(kh):
+        for v in range(kw):
+            t = (xp[:, u:u + h, v:v + w, :]
+                 * kernel[u, v, 0]).astype(jnp.float32)
+            acc = t if acc is None else acc + t
+    return acc.astype(x.dtype)
+
+
 class QConv(nn.Module):
     """Conv2D (NHWC, HWIO kernel) with optional weight/activation int8
     fake quantization and an optional fused activation function."""
@@ -112,14 +140,24 @@ class QConv(nn.Module):
                     kernel, weight_scale(kernel, self.quant.qmax),
                     self.quant.qmax,
                 )
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                kernel.astype(self.dtype),
-                window_strides=tuple(self.strides),
-                padding=self.padding,
-                feature_group_count=self.feature_group_count,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if (self.feature_group_count > 1
+                    and in_ch == 1
+                    and self.features == self.feature_group_count
+                    and tuple(self.strides) == (1, 1)
+                    and self.padding == "SAME"
+                    and kh % 2 == 1 and kw % 2 == 1):
+                y = _depthwise_shift_conv(
+                    x.astype(self.dtype), kernel.astype(self.dtype)
+                )
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    window_strides=tuple(self.strides),
+                    padding=self.padding,
+                    feature_group_count=self.feature_group_count,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,),

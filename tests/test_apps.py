@@ -63,3 +63,40 @@ def test_convert_quant(tmp_path):
         "--out", str(bundle), "--check", "false",
     ])
     assert bundle.exists()
+
+
+@pytest.mark.slow
+def test_eval_sintel_pad_protocol(tmp_path):
+    """eval_sintel runs the standard pad-to-/32 protocol on a fake
+    Sintel tree at native (non-multiple-of-32) resolution and reports a
+    finite EPE."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from qpwcnet_tpu.apps.eval_sintel import main
+    from qpwcnet_tpu.data.flo_format import write_flo
+
+    seq = tmp_path / "training" / "final" / "alley_1"
+    flo_dir = tmp_path / "training" / "flow" / "alley_1"
+    seq.mkdir(parents=True)
+    flo_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    h, w = 36, 64  # not multiples of 32 -> exercises the padding
+    for i in (1, 2):
+        Image.fromarray(
+            rng.randint(0, 255, (h, w, 3), np.uint8)
+        ).save(seq / f"frame_{i:04d}.png")
+    write_flo(flo_dir / "frame_0001.flo",
+              np.ones((h, w, 2), np.float32))
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--data-path", str(tmp_path)])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["n"] == 1 and out["protocol"] == "pad"
+    assert np.isfinite(out["value"])

