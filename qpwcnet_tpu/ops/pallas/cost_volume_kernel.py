@@ -107,8 +107,40 @@ def _cv_pallas_fwd(prv, nxt, search_range, tile_h, interpret):
     return out, (prv, nxt, out)
 
 
+def _bwd_kernels_fit(h, w, c, d, itemsize, r) -> bool:
+    """True if both backward kernels fit the scoped-VMEM budget at the
+    minimum tile height. At large C with tiny spatial dims (the coarsest
+    Flow level: C=256, 8x16) Mosaic's unrolled-loop temporaries exceed
+    the 16 MB stack no matter the tile (observed 17.17M at th=8) — those
+    levels use the XLA VJP instead, whose temporaries are tiny there."""
+    budget = 10 * 1024 * 1024
+    for halo in (True, False):
+        cand = _pick_tile_h_bwd(h, w, c, d, itemsize, r, dacc_halo=halo,
+                                budget=budget)
+        if cand == 8:
+            # re-evaluate the floor tile against the budget
+            w_lane = ((w + 127) // 128) * 128
+            need = (
+                2 * 4 * c * 8 * w_lane
+                + 4 * c * 8 * w_lane
+                + d * c * 8 * w_lane * (itemsize + 4)
+            )
+            if need > budget:
+                return False
+    return True
+
+
 def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
     prv, nxt, out = res
+    b, h, w, c = prv.shape
+    d = 2 * search_range + 1
+    if not _bwd_kernels_fit(h, w, c, d, prv.dtype.itemsize, search_range):
+        from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+
+        _, vjp = jax.vjp(
+            lambda p, n: cost_volume_xla(p, n, search_range), prv, nxt
+        )
+        return vjp(g)
     # d(leaky_relu)/d(acc) from the saved output sign; elementwise, XLA
     # fuses it into the producers of g.
     dacc = (g * jnp.where(out > 0, 1.0, 0.1).astype(g.dtype))

@@ -55,7 +55,14 @@ def make_mesh_for_batch(
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch pytree onto the mesh, sharded on axis 0 over
-    'data' (leading dim must divide the data axis size)."""
+    'data' (leading dim must divide the data axis size). A single-device
+    mesh gets a plain device_put — committing NamedShardings there makes
+    downstream jits carry SPMD machinery for no benefit."""
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dev), batch
+        )
     sharding = NamedSharding(mesh, P("data"))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
@@ -75,7 +82,13 @@ def put_batch(batch, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (params / train state) over the mesh."""
+    """Fully replicate a pytree (params / train state) over the mesh.
+    Single-device mesh: plain device_put (see shard_batch)."""
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dev), tree
+        )
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
@@ -86,12 +99,18 @@ def make_parallel_step(step_fn: Callable, mesh: Mesh,
                        donate_state: bool = True) -> Callable:
     """Jit a (state, batch) -> (state, metrics) step for the mesh:
     state replicated, batch sharded on 'data'. XLA inserts the gradient
-    psum over ICI from these shardings alone."""
+    psum over ICI from these shardings alone.
+
+    On a single-device mesh the sharding annotations are semantically a
+    no-op, so plain jit (with the same donation) is used."""
+    donate = (0,) if donate_state else ()
+    if mesh.devices.size == 1:
+        return jax.jit(step_fn, donate_argnums=donate)
     state_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("data"))
     return jax.jit(
         step_fn,
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
-        donate_argnums=(0,) if donate_state else (),
+        donate_argnums=donate,
     )

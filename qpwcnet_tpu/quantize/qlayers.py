@@ -53,32 +53,58 @@ class ActQuant(nn.Module):
         return fake_quant(x, scale.astype(x.dtype), self.quant.qmax)
 
 
-def _depthwise_shift_conv(x, kernel):
-    """Full depthwise conv (stride 1, SAME, odd kernel) as kh*kw shifted
-    elementwise multiply-adds.
+def _dw_conv(x, kernel):
+    """lax full-depthwise conv (stride 1, SAME): fast TPU forward."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
-    Why not lax.conv with feature_group_count=C: its BACKWARD-FILTER pass
-    lowers to a batch_group_count=C convolution, which XLA:TPU executes
-    catastrophically slowly at the large group counts of this model's
-    SepConv heads (C up to 593 at the coarsest Flow level) — measured
-    3.1 s/step for the 256x512 bs16 train step, ~70x the roofline. The
-    shift form runs on the VPU, fuses, and differentiates into the same
-    shifted elementwise ops (d/dx) plus plain reductions (d/dw).
+
+@jax.custom_vjp
+def _depthwise_conv(x, kernel):
+    """Full depthwise conv (stride 1, SAME, odd kernel) with a
+    TPU-friendly custom VJP.
+
+    Forward: the ordinary lax depthwise conv (XLA's forward emitter for
+    feature_group_count=C is fine). The problem is autodiff's
+    BACKWARD-FILTER pass: it lowers to a batch_group_count=C
+    convolution, which XLA:TPU executes catastrophically slowly at the
+    large group counts of this model's SepConv heads (C up to 593 at the
+    coarsest Flow level) — measured 3.1 s/step for the 256x512 bs16
+    train step, ~18x the whole step's roofline. The custom VJP computes
+      * d_x  = depthwise conv of g with the spatially-flipped kernel
+               (another forward-style feature-group conv), and
+      * d_w  = per-tap multiply-reduce over (B, H, W) — kh*kw fused
+               elementwise+reduction passes, no grouped conv at all.
 
     x: (B, H, W, C); kernel: (kh, kw, 1, C) -> (B, H, W, C).
-    Taps accumulate in f32 regardless of compute dtype.
     """
+    return _dw_conv(x, kernel)
+
+
+def _depthwise_conv_fwd(x, kernel):
+    return _dw_conv(x, kernel), (x, kernel)
+
+
+def _depthwise_conv_bwd(res, g):
+    x, kernel = res
     kh, kw = kernel.shape[:2]
     ph, pw = kh // 2, kw // 2
     h, w = x.shape[1], x.shape[2]
+    d_x = _dw_conv(g, kernel[::-1, ::-1]).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    acc = None
+    taps = []
     for u in range(kh):
         for v in range(kw):
-            t = (xp[:, u:u + h, v:v + w, :]
-                 * kernel[u, v, 0]).astype(jnp.float32)
-            acc = t if acc is None else acc + t
-    return acc.astype(x.dtype)
+            prod = (xp[:, u:u + h, v:v + w, :] * g).astype(jnp.float32)
+            taps.append(jnp.sum(prod, axis=(0, 1, 2)))
+    d_w = jnp.stack(taps).reshape(kh, kw, 1, x.shape[-1])
+    return d_x, d_w.astype(kernel.dtype)
+
+
+_depthwise_conv.defvjp(_depthwise_conv_fwd, _depthwise_conv_bwd)
 
 
 class QConv(nn.Module):
@@ -146,7 +172,7 @@ class QConv(nn.Module):
                     and tuple(self.strides) == (1, 1)
                     and self.padding == "SAME"
                     and kh % 2 == 1 and kw % 2 == 1):
-                y = _depthwise_shift_conv(
+                y = _depthwise_conv(
                     x.astype(self.dtype), kernel.astype(self.dtype)
                 )
             else:
