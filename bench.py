@@ -132,8 +132,12 @@ def bench_int8(hw, batch):
     from qpwcnet_tpu.models import build_flow_net
     from qpwcnet_tpu.quantize import QuantConfig
 
+    # bf16 inter-conv activations: the model is HBM-bound and int8
+    # quantization error dwarfs bf16 rounding, so f32 activations would
+    # just double the bandwidth.
     model, variables = build_flow_net(
-        jax.random.key(0), hw, quant=QuantConfig(mode="int8"))
+        jax.random.key(0), hw, dtype=jnp.bfloat16,
+        quant=QuantConfig(mode="int8"))
 
     @jax.jit
     def forward(variables, ims):

@@ -54,18 +54,23 @@ def _synthetic_batches(cfg: Settings):
     rng = np.random.RandomState(cfg.seed)
     h, w = cfg.height, cfg.width
     while True:
+        # smooth textures: block-upsampled noise (correlation helps
+        # matching); vectorized over the batch — the per-sample
+        # np.kron loop this replaces capped end-to-end training at
+        # ~17 img/s against a 101 img/s device step.
+        base = rng.uniform(
+            0, 255, (cfg.batch_size, h // 4, w // 4, 3))
+        prv = base.repeat(4, axis=1).repeat(4, axis=2)[:, :h, :w]
+        prv = prv.astype(np.uint8)
+        uv = rng.randint(-8, 9, size=(cfg.batch_size, 2))
         ims = np.empty((cfg.batch_size, h, w, 6), np.uint8)
         flo = np.empty((cfg.batch_size, h, w, 2), np.float32)
         for k in range(cfg.batch_size):
-            # smooth texture: blurred noise (correlation helps matching)
-            base = rng.uniform(0, 255, (h // 4, w // 4, 3))
-            prv = np.kron(base, np.ones((4, 4, 1)))[:h, :w]
-            u, v = rng.randint(-8, 9, size=2)
+            u, v = int(uv[k, 0]), int(uv[k, 1])
             # prv[i, j] == nxt[i + v, j + u]  =>  nxt = roll(prv, (v, u))
-            nxt = np.roll(prv, shift=(v, u), axis=(0, 1))
-            ims[k] = np.concatenate(
-                [prv, nxt], axis=-1).astype(np.uint8)
-            flo[k] = np.asarray([u, v], np.float32)
+            ims[k, ..., :3] = prv[k]
+            ims[k, ..., 3:] = np.roll(prv[k], shift=(v, u), axis=(0, 1))
+            flo[k] = uv[k].astype(np.float32)
         yield ims, flo
 
 
@@ -158,8 +163,12 @@ def main(cfg: Settings):
     step_fn = make_parallel_step(make_flow_train_step(), mesh)
 
     writer = MetricWriter(paths["log"])
-    batches = (_synthetic_batches(cfg) if cfg.data == "synthetic"
-               else _dataset_batches(cfg))
+    if cfg.data == "synthetic":
+        from qpwcnet_tpu.data.pipeline import prefetch_iterator
+
+        batches = prefetch_iterator(_synthetic_batches(cfg))
+    else:
+        batches = _dataset_batches(cfg)
 
     key = jax.random.key(cfg.seed + 1)
     t0 = time.time()

@@ -126,6 +126,39 @@ class PrefetchLoader:
         self._stop.set()
 
 
+def prefetch_iterator(it: Iterable, depth: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue so
+    host-side batch production overlaps device compute (used by the
+    synthetic training modes; PrefetchLoader covers file datasets)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 # ---------------------------------------------------------------- device
 
 def _nan_scrub(x):

@@ -273,3 +273,10 @@ def test_prefetch_loader_sharding_disjoint_and_complete():
                             n_workers=1)
     assert sum(len(b[0]) for b in iter(loader)) == n
     loader.close()
+
+
+def test_prefetch_iterator_order_and_termination():
+    from qpwcnet_tpu.data.pipeline import prefetch_iterator
+
+    out = list(prefetch_iterator(iter(range(7)), depth=2))
+    assert out == list(range(7))
