@@ -25,6 +25,11 @@ class Settings:
     protocol: str = "pad"     # 'pad' (standard) | 'resize'
     height: int = 448         # resize protocol only
     width: int = 1024         # resize protocol only
+    # BN running-statistic re-estimation passes over the eval inputs
+    # before scoring (train.recalibrate_batch_stats): checkpoints whose
+    # OptFlow BN running means lag the eval distribution lose hundreds
+    # of px of EPE in inference mode (RESULTS.md). 0 disables.
+    recalibrate: int = 100
 
 
 @with_args(Settings)
@@ -43,20 +48,42 @@ def main(cfg: Settings):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
 
+    from pathlib import Path
+
+    def make_source():
+        if Path(cfg.data_path).is_dir():
+            from qpwcnet_tpu.data.sintel import sintel_dir_iterator
+
+            return sintel_dir_iterator(cfg.data_path)
+        from qpwcnet_tpu.data.sintel import sintel_tfrecord_iterator
+
+        return sintel_tfrecord_iterator(cfg.data_path)
+
+    def pad32(ims):
+        h0, w0 = ims.shape[1:3]
+        return jnp.pad(ims, ((0, 0), (0, -(-h0 // 32) * 32 - h0),
+                             (0, -(-w0 // 32) * 32 - w0), (0, 0)))
+
+    if cfg.load_ckpt and cfg.recalibrate:
+        recal = jax.jit(lambda bs, x: model.apply(
+            {"params": variables["params"], "batch_stats": bs},
+            x, train=True, mutable=["batch_stats"])[1]["batch_stats"])
+        bs = variables["batch_stats"]
+        for i, (ims_u8, _) in enumerate(make_source()):
+            if i >= cfg.recalibrate:
+                break
+            x = pad32(jnp.asarray(
+                ims_u8[None].astype(np.float32) / 255.0)) - 0.5
+            bs = recal(bs, x)
+        variables = {"params": variables["params"], "batch_stats": bs}
+        print(f"recalibrated BN stats over {cfg.recalibrate} frames",
+              file=sys.stderr)
+
     @jax.jit
     def forward(ims):
         return model.apply(variables, ims, train=False)
 
-    from pathlib import Path
-
-    if Path(cfg.data_path).is_dir():
-        from qpwcnet_tpu.data.sintel import sintel_dir_iterator
-
-        source = sintel_dir_iterator(cfg.data_path)
-    else:
-        from qpwcnet_tpu.data.sintel import sintel_tfrecord_iterator
-
-        source = sintel_tfrecord_iterator(cfg.data_path)
+    source = make_source()
 
     epes = []
     for i, (ims_u8, flo_gt) in enumerate(source):

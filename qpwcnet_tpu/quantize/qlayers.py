@@ -134,9 +134,13 @@ class QConv(nn.Module):
 
         amax_in = None
         if self.quant is not None:
-            # Input range: tracked during QAT (stats only — no input FQ,
-            # matching tfmot's output-side placement), consumed by the
-            # int8 execution mode.
+            # Input range: tracked during QAT AND simulated with an
+            # input fake-quant — the int8 execution mode quantizes every
+            # conv input with this range, so the QAT graph must too or
+            # training cannot adapt to input quantization error (e.g.
+            # the UpFlow concat [cost, features, flow] shares one
+            # per-tensor scale dominated by the flow channels; without
+            # input FQ the deployed int8 EPE was 4x the QAT-sim EPE).
             amax_in = self.variable(
                 "quant_stats", "amax_in",
                 lambda: jnp.zeros((), jnp.float32),
@@ -161,6 +165,10 @@ class QConv(nn.Module):
                 qmax=self.quant.qmax,
             ).astype(self.dtype)
         else:
+            if self.quant is not None and self.quant.mode == "qat":
+                scale_in = (amax_in.value / self.quant.qmax).astype(
+                    x.dtype)
+                x = fake_quant(x, scale_in, self.quant.qmax)
             if self.quant is not None and self.quant.quantize_weights:
                 kernel = fake_quant(
                     kernel, weight_scale(kernel, self.quant.qmax),
@@ -246,6 +254,11 @@ class QConvTranspose(nn.Module):
                 transpose=True, qmax=self.quant.qmax,
             ).astype(self.dtype)
         else:
+            if self.quant is not None and self.quant.mode == "qat":
+                # input FQ: match the int8 execution path (see QConv)
+                scale_in = (amax_in.value / self.quant.qmax).astype(
+                    x.dtype)
+                x = fake_quant(x, scale_in, self.quant.qmax)
             if self.quant is not None and self.quant.quantize_weights:
                 kernel = fake_quant(
                     kernel, weight_scale(kernel, self.quant.qmax),

@@ -14,6 +14,7 @@ from qpwcnet_tpu.train.train_state import (
     create_interp_train_state,
     make_flow_train_step,
     make_interp_train_step,
+    recalibrate_batch_stats,
 )
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "create_interp_train_state",
     "make_flow_train_step",
     "make_interp_train_step",
+    "recalibrate_batch_stats",
 ]

@@ -163,3 +163,33 @@ def make_interp_train_step(l2_gamma: float = 4e-6):
         return state, metrics
 
     return train_step
+
+
+def recalibrate_batch_stats(state: TrainState, batches, n_passes: int = 200):
+    """Re-estimate BatchNorm running statistics with forward passes.
+
+    Why: the reference's OptFlow BatchNorm (momentum .99, eps 1e-3) sits
+    on features whose variance can be eps-dominated; at inference the
+    running MEANS then lag the deployment distribution and the
+    (x - mean)/sqrt(var + eps) transform amplifies the drift ~30x —
+    measured synthetic EPE 5.5 (batch stats) vs 328 (stale running
+    stats) on a trained checkpoint, recovering to 7.5 after
+    recalibration. Standard BN re-estimation: run train-mode forwards,
+    mutating ONLY batch_stats (weights and quant ranges untouched).
+
+    batches: iterable of input arrays ('ims'); consumed up to n_passes.
+    """
+    apply = jax.jit(
+        lambda bs, x: state.apply_fn(
+            {"params": state.params, "batch_stats": bs,
+             **({"quant_stats": state.quant_stats}
+                if state.quant_stats else {})},
+            x, train=True, mutable=["batch_stats"],
+        )[1]["batch_stats"]
+    )
+    bs = state.batch_stats
+    for i, ims in enumerate(batches):
+        if i >= n_passes:
+            break
+        bs = apply(bs, ims)
+    return state.replace(batch_stats=bs)

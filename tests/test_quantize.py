@@ -143,9 +143,15 @@ def test_qat_flow_net_builds_runs_and_tracks_ranges():
         {"params": state.params, "batch_stats": state.batch_stats,
          "quant_stats": state.quant_stats},
         batch["ims"], train=False)
-    rel = float(jnp.max(jnp.abs(q_out - f_out))) / (
+    # loose bounds: random-init params, coarse-level amplification, and
+    # QAT now fake-quantizes every conv INPUT (matching the int8
+    # execution path), which adds per-conv quantization error.
+    rel_mean = float(jnp.mean(jnp.abs(q_out - f_out))) / (
+        float(jnp.mean(jnp.abs(f_out))) + 1e-6)
+    rel_max = float(jnp.max(jnp.abs(q_out - f_out))) / (
         float(jnp.max(jnp.abs(f_out))) + 1e-6)
-    assert rel < 0.5, rel  # loose: random init, coarse-level amplification
+    assert rel_mean < 1.0, rel_mean
+    assert rel_max < 2.0, rel_max
 
 
 @pytest.mark.slow

@@ -190,3 +190,28 @@ def test_flow_training_loss_decreases_bf16():
     # params must remain f32 master copies under bf16 compute
     kinds = {p.dtype for p in jax.tree_util.tree_leaves(state.params)}
     assert kinds == {jnp.dtype(jnp.float32)}, kinds
+
+
+def test_recalibrate_batch_stats():
+    """BN re-estimation: running stats move toward the fed batches'
+    statistics; params and step untouched."""
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.train import recalibrate_batch_stats
+
+    model, variables = build_flow_net(jax.random.key(0), (H, W))
+    state = create_flow_train_state(model, variables)
+    rng = np.random.RandomState(0)
+    batches = [
+        jnp.asarray(rng.uniform(-0.5, 0.5, (2, H, W, 6)).astype(np.float32))
+        for _ in range(3)
+    ]
+    new = recalibrate_batch_stats(state, iter(batches), n_passes=3)
+    # params identical, stats changed
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(new.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    b0 = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(state.batch_stats)])
+    b1 = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(new.batch_stats)])
+    assert float(jnp.max(jnp.abs(b0 - b1))) > 0
