@@ -72,8 +72,14 @@ def main(cfg: Settings):
         for i, (ims_u8, _) in enumerate(make_source()):
             if i >= cfg.recalibrate:
                 break
-            x = pad32(jnp.asarray(
-                ims_u8[None].astype(np.float32) / 255.0)) - 0.5
+            # Recalibrate on the SAME preprocessing the selected eval
+            # protocol uses — re-estimated running stats from a different
+            # input resolution/distribution would defeat the purpose.
+            ims = jnp.asarray(ims_u8[None].astype(np.float32) / 255.0)
+            if cfg.protocol == "pad":
+                x = pad32(ims) - 0.5
+            else:
+                x = resize_bilinear(ims, (cfg.height, cfg.width)) - 0.5
             bs = recal(bs, x)
         variables = {"params": variables["params"], "batch_stats": bs}
         print(f"recalibrated BN stats over {cfg.recalibrate} frames",

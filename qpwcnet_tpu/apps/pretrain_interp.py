@@ -41,6 +41,9 @@ class Settings:
     compute_dtype: str = "float32"
     seed: int = 0
     debug_nan: bool = False    # pre_train.py:239-240
+    # QAT mode (see train_flow.Settings.qat): ranges are checkpointed,
+    # --load-ckpt may point at a float run.
+    qat: bool = False
 
 
 def _make_dataset(cfg: Settings):
@@ -77,8 +80,14 @@ def main(cfg: Settings):
     print(f"run dir: {paths['run']}", file=sys.stderr)
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    quant = None
+    if cfg.qat:
+        from qpwcnet_tpu.quantize import QuantConfig
+
+        quant = QuantConfig()
     model, variables = build_interpolator(
-        jax.random.key(cfg.seed), (cfg.height, cfg.width), dtype=dtype)
+        jax.random.key(cfg.seed), (cfg.height, cfg.width), dtype=dtype,
+        quant=quant)
     state = create_interp_train_state(
         model, variables, learning_rate=cfg.learning_rate)
 
@@ -109,7 +118,7 @@ def main(cfg: Settings):
     try:
         for i in range(step0, cfg.steps):
             a, b, c = next(batches)
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(key, i)  # resume-stable aug keys
             batch = preprocess_triplet_batch(
                 sub, jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
                 augment=cfg.augment)

@@ -29,7 +29,13 @@ class Settings:
     """Flow training settings (the hardcoded tuple of train.py:502-514,
     now a real config)."""
 
-    data: str = "synthetic"  # 'synthetic' | 'fc3d' | 'sintel'
+    # 'synthetic': on-device NON-UNIFORM smooth flow fields
+    #   (data/synthetic.py — the convergence-evidence task);
+    # 'synthetic-uniform': round-2 host generator, one integer shift per
+    #   sample (kept for the convert_quant EPE gate's fixed distribution);
+    # 'fc3d' | 'sintel': real datasets.
+    data: str = "synthetic"
+    max_disp: float = 24.0   # synthetic flow magnitude bound (px)
     data_path: str = ""      # fc3d set file / sintel shard glob
     batch_size: int = 16
     learning_rate: float = 1e-4
@@ -45,15 +51,27 @@ class Settings:
     transfer_from_interp: bool = False
     compute_dtype: str = "float32"  # or 'bfloat16'
     seed: int = 0
+    # Quantization-aware training as a first-class, resumable mode (the
+    # reference trains its QAT model with the same fit loop,
+    # convert_tflite.py:145-208). quant_stats ranges are checkpointed;
+    # --load-ckpt may point at a FLOAT run to start a QAT fine-tune.
+    qat: bool = False
 
 
-def _synthetic_batches(cfg: Settings):
+def _synthetic_batches(cfg: Settings, start_step: int = 0):
     """Learnable synthetic pairs: smooth random textures displaced by a
     known integer flow (nxt[p] shifted so prv[p] == nxt[p + flow]), for
-    end-to-end training validation without datasets."""
-    rng = np.random.RandomState(cfg.seed)
+    end-to-end training validation without datasets.
+
+    Per-batch-index seeding makes the stream RESUMABLE: a run restored
+    at step k sees exactly the batches an uninterrupted run would have
+    seen from step k, so interrupt+resume is bit-reproducible."""
     h, w = cfg.height, cfg.width
+    idx = start_step
     while True:
+        rng = np.random.RandomState(
+            (cfg.seed * 1_000_003 + idx) % (2**31 - 1))
+        idx += 1
         # smooth textures: block-upsampled noise (correlation helps
         # matching); vectorized over the batch — the per-sample
         # np.kron loop this replaces capped end-to-end training at
@@ -132,8 +150,14 @@ def main(cfg: Settings):
     print(f"run dir: {paths['run']}", file=sys.stderr)
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    quant = None
+    if cfg.qat:
+        from qpwcnet_tpu.quantize import QuantConfig
+
+        quant = QuantConfig()
     model, variables = build_flow_net(
-        jax.random.key(cfg.seed), (cfg.height, cfg.width), dtype=dtype
+        jax.random.key(cfg.seed), (cfg.height, cfg.width), dtype=dtype,
+        quant=quant,
     )
     state = create_flow_train_state(
         model, variables, learning_rate=cfg.learning_rate)
@@ -163,20 +187,49 @@ def main(cfg: Settings):
     step_fn = make_parallel_step(make_flow_train_step(), mesh)
 
     writer = MetricWriter(paths["log"])
+    step0 = int(jax.device_get(state.step))
     if cfg.data == "synthetic":
+        from qpwcnet_tpu.data.synthetic import synthetic_flow_batch
+
+        def _device_synthetic():
+            data_key = jax.random.key(cfg.seed + 2)
+            i = step0
+            while True:
+                yield synthetic_flow_batch(
+                    jax.random.fold_in(data_key, i), cfg.batch_size,
+                    cfg.height, cfg.width, max_disp=cfg.max_disp)
+                i += 1
+
+        batches = _device_synthetic()
+    elif cfg.data == "synthetic-uniform":
         from qpwcnet_tpu.data.pipeline import prefetch_iterator
 
-        batches = prefetch_iterator(_synthetic_batches(cfg))
+        batches = prefetch_iterator(
+            _synthetic_batches(cfg, start_step=step0))
     else:
         batches = _dataset_batches(cfg)
 
+    # Eval-mode forward (running BN stats, as deployment would run):
+    # logged beside the train-mode EPE to catch BN train/eval drift
+    # (measured 30x amplification on stale stats, RESULTS.md).
+    from qpwcnet_tpu.train.losses import epe_error as _epe
+
+    @jax.jit
+    def eval_epe(st, batch):
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        if st.quant_stats:
+            v["quant_stats"] = st.quant_stats
+        return _epe(batch["flo"], model.apply(v, batch["ims"],
+                                              train=False))
+
     key = jax.random.key(cfg.seed + 1)
     t0 = time.time()
-    step0 = int(state.step)
     try:
         for i in range(step0, cfg.steps):
             ims_u8, flo = next(batches)
-            key, sub = jax.random.split(key)
+            # fold_in (not split): the aug-key stream is indexed by the
+            # global step, so interrupt+resume replays identically.
+            sub = jax.random.fold_in(key, i)
             batch = preprocess_flow_batch(
                 sub, jnp.asarray(ims_u8), jnp.asarray(flo),
                 out_hw=(cfg.height, cfg.width),
@@ -184,12 +237,19 @@ def main(cfg: Settings):
             batch = put_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             if (i + 1) % cfg.log_every == 0:
+                from qpwcnet_tpu.data.synthetic import zero_baseline_epe
+
                 m = {k: float(v) for k, v in metrics.items()}
+                m["epe_eval"] = float(eval_epe(state, batch))
+                m["epe_zero"] = float(zero_baseline_epe(batch["flo"]))
                 rate = (cfg.batch_size * (i + 1 - step0)) / (
                     time.time() - t0)
                 writer.scalars(i + 1, {**m, "images_per_sec": rate})
                 print(f"step {i + 1}: loss={m['loss']:.4f} "
-                      f"epe={m['epe']:.3f} ({rate:.1f} img/s)",
+                      f"epe={m['epe']:.3f} "
+                      f"epe_eval={m['epe_eval']:.3f} "
+                      f"epe_zero={m['epe_zero']:.3f} "
+                      f"({rate:.1f} img/s)",
                       file=sys.stderr)
             if (i + 1) % cfg.ckpt_every == 0:
                 ckpt.save(i + 1, jax.device_get(state))

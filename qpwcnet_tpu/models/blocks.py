@@ -54,6 +54,14 @@ def _dw_quant(quant: Optional[QuantConfig]) -> Optional[QuantConfig]:
     return dataclasses.replace(quant, quantize_activations=False)
 
 
+def _int8_mode(quant: Optional[QuantConfig]) -> bool:
+    """True when executing with real int8 arithmetic — conv chains then
+    pass QTensors (int8 values + scale) between layers instead of float
+    maps, the bandwidth fix that makes the deployment artifact actually
+    faster than bf16 (quantize/qtensor.py)."""
+    return quant is not None and quant.mode == "int8"
+
+
 class SepConv(nn.Module):
     """Keras SeparableConv2D parity: depthwise kxk (no bias) + pointwise
     1x1 (bias) + activation (+ output fake-quant under QAT)."""
@@ -64,8 +72,13 @@ class SepConv(nn.Module):
     quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x, update_stats: bool = False):
+    def __call__(self, x, update_stats: bool = False,
+                 emit_qtensor: bool = False):
         c_in = x.shape[-1]
+        # int8 mode: the depthwise stage consumes a QTensor input (when
+        # the caller chains SepConvs) but emits float — its output range
+        # is uncalibrated (no FQ between dw and pw stages, see
+        # _dw_quant); the pointwise stage re-quantizes via its amax_in.
         x = QConv(
             features=c_in,
             kernel_size=(self.kernel, self.kernel),
@@ -83,7 +96,7 @@ class SepConv(nn.Module):
             act=mish,
             quant=self.quant,
             name="pointwise",
-        )(x, update_stats)
+        )(x, update_stats, emit_qtensor=emit_qtensor)
 
 
 class DownConv(nn.Module):
@@ -97,8 +110,16 @@ class DownConv(nn.Module):
     quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        for name, stride in (("conv_a", 2), ("conv_aa", 1), ("conv_b", 1)):
+    def __call__(self, x, train: bool = False,
+                 emit_qtensor: bool = False):
+        # int8 mode (no normalizer): the three convs chain QTensors —
+        # each conv's output is quantized once with its calibrated range
+        # and consumed as int8 by the next (1 byte/element inter-conv
+        # traffic). BN between convs forces the float path.
+        chain_q = _int8_mode(self.quant) and not self.use_normalizer
+        names = (("conv_a", 2), ("conv_aa", 1), ("conv_b", 1))
+        for k, (name, stride) in enumerate(names):
+            last = k == len(names) - 1
             x = QConv(
                 features=self.features,
                 kernel_size=(3, 3),
@@ -107,7 +128,8 @@ class DownConv(nn.Module):
                 act=mish,
                 quant=self.quant,
                 name=name,
-            )(x, update_stats=train)
+            )(x, update_stats=train,
+              emit_qtensor=(emit_qtensor if last else chain_q))
             if self.use_normalizer:
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -127,7 +149,8 @@ class UpConv(nn.Module):
     quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x, update_stats: bool = False):
+    def __call__(self, x, update_stats: bool = False,
+                 emit_qtensor: bool = False):
         return QConvTranspose(
             features=self.features,
             kernel_size=(4, 4),
@@ -136,7 +159,7 @@ class UpConv(nn.Module):
             act=mish,
             quant=self.quant,
             name="conv_up",
-        )(x, update_stats)
+        )(x, update_stats, emit_qtensor=emit_qtensor)
 
 
 class OptFlow(nn.Module):
@@ -153,9 +176,15 @@ class OptFlow(nn.Module):
         h, w = x.shape[1], x.shape[2]
         scale = float(h * h + w * w) ** 0.5
 
+        # int8 mode: the SepConv chain passes QTensors (each pointwise
+        # output quantized once with its calibrated range, the next
+        # depthwise consumes int8); the 1x1 conv emits float because
+        # BatchNorm follows.
+        chain_q = _int8_mode(self.quant)
         for i, f in enumerate(self.filters):
             x = SepConv(f, dtype=self.dtype, quant=self.quant,
-                        name=f"of_feat_{i}")(x, update_stats=train)
+                        name=f"of_feat_{i}")(x, update_stats=train,
+                                             emit_qtensor=chain_q)
         x = QConv(
             features=self.filters[-1],
             kernel_size=(1, 1),
@@ -245,7 +274,8 @@ class FrameInterpolate(nn.Module):
             feats.append(img_u.astype(prv.dtype))
         x = jnp.concatenate(feats, axis=-1)
         x = SepConv(64, dtype=self.dtype, quant=self.quant,
-                    name="conv1")(x, update_stats=train)
+                    name="conv1")(x, update_stats=train,
+                                  emit_qtensor=_int8_mode(self.quant))
         x = QConv(
             features=3,
             kernel_size=(1, 1),

@@ -68,11 +68,19 @@ class Encoder(nn.Module):
     def __call__(self, img, train: bool = False):
         """img: (B, H, W, 3) -> list of len(filters)+1 features, index 0 is
         the input itself (pwcnet.py:152-156)."""
+        from qpwcnet_tpu.models.blocks import _int8_mode
+        from qpwcnet_tpu.quantize.qtensor import dequantize
+
         feats = [img]
         f = img.astype(self.dtype)
+        # int8 execution: DownConv stages chain QTensors (int8 values +
+        # scale, 1 byte/element between stages); the pyramid features
+        # handed to the decoder / cost volume / warp are dequantized
+        # views (those consumers are float ops).
+        chain_q = _int8_mode(self.quant)
         for stage in self.stages:
-            f = stage(f, train=train)
-            feats.append(f)
+            f = stage(f, train=train, emit_qtensor=chain_q)
+            feats.append(dequantize(f, self.dtype) if chain_q else f)
         return feats
 
 

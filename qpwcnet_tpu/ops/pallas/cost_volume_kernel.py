@@ -118,14 +118,9 @@ def _bwd_kernels_fit(h, w, c, d, itemsize, r) -> bool:
         cand = _pick_tile_h_bwd(h, w, c, d, itemsize, r, dacc_halo=halo,
                                 budget=budget)
         if cand == 8:
-            # re-evaluate the floor tile against the budget
-            w_lane = ((w + 127) // 128) * 128
-            need = (
-                2 * 4 * c * 8 * w_lane
-                + 4 * c * 8 * w_lane
-                + d * c * 8 * w_lane * (itemsize + 4)
-            )
-            if need > budget:
+            # re-evaluate the floor tile with the FULL per-branch cost
+            # (including the haloed DMA scratch and shift-buffer terms).
+            if _bwd_need(8, w, c, d, itemsize, r, halo) > budget:
                 return False
     return True
 
@@ -143,14 +138,16 @@ def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
         return vjp(g)
     # d(leaky_relu)/d(acc) from the saved output sign; elementwise, XLA
     # fuses it into the producers of g.
+    # NOTE: a caller-supplied tile_h is a FORWARD tuning knob; the
+    # backward kernels' VMEM footprint is much larger (81-channel dacc
+    # halo + extra shift/acc scratch), so they always pick their own
+    # tile via _pick_tile_h_bwd rather than inheriting the override.
     dacc = (g * jnp.where(out > 0, 1.0, 0.1).astype(g.dtype))
     dprv = _cv_bwd_prv_impl(
-        dacc, nxt, search_range=search_range, tile_h=tile_h,
-        interpret=interpret,
+        dacc, nxt, search_range=search_range, interpret=interpret,
     ).astype(prv.dtype)
     dnxt = _cv_bwd_nxt_impl(
-        dacc, prv, search_range=search_range, tile_h=tile_h,
-        interpret=interpret,
+        dacc, prv, search_range=search_range, interpret=interpret,
     ).astype(nxt.dtype)
     return dprv, dnxt
 
@@ -158,41 +155,47 @@ def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
 cost_volume_pallas.defvjp(_cv_pallas_fwd, _cv_pallas_bwd)
 
 
+def _bwd_need(cand: int, w: int, c: int, d: int, itemsize: int, r: int,
+              dacc_halo: bool) -> int:
+    """Exact VMEM bytes a backward kernel needs at row-tile `cand`:
+    double-buffered blocks, haloed DMA scratches, per-dj shift buffers,
+    the f32 accumulator AND a worst-case allowance for the inner
+    unrolled loop's product temporaries — Mosaic's scheduler can keep
+    all d per-iteration temps live at once (observed 37 MB scoped-vmem
+    stack OOM without this term)."""
+    w_lane = ((w + 127) // 128) * 128
+    wp = ((w + 2 * r + 127) // 128) * 128
+    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+    thp = rup(cand)
+    hal = rup(cand + 2 * r)
+    need = (
+        2 * 4 * c * thp * w_lane            # f32 out block x2
+        + 4 * c * thp * w_lane              # f32 accumulator
+        + d * c * thp * w_lane * (itemsize + 4)  # unrolled temps
+    )
+    if dacc_halo:
+        # dnxt kernel: haloed dacc + prv DMAs and both shift bufs.
+        need += (
+            itemsize * d * d * (hal * wp + hal * w_lane)
+            + itemsize * c * (hal * wp + hal * w_lane)
+        )
+    else:
+        # dprv kernel: dacc arrives as a VMEM block (x2 buffered),
+        # nxt is the haloed DMA + shift buffer.
+        need += (
+            2 * itemsize * d * d * thp * w_lane
+            + itemsize * c * (hal * wp + hal * w_lane)
+        )
+    return need
+
+
 def _pick_tile_h_bwd(
     h: int, w: int, c: int, d: int, itemsize: int, r: int,
     dacc_halo: bool, budget: int = 10 * 1024 * 1024,
 ) -> int:
-    """Row-tile size for the backward kernels. Counts the
-    double-buffered blocks, the haloed DMA scratches, the per-dj shift
-    buffers, the f32 accumulator AND a worst-case allowance for the
-    inner unrolled loop's product temporaries — Mosaic's scheduler can
-    keep all d per-iteration temps live at once (observed 37 MB
-    scoped-vmem stack OOM without this term)."""
-    w_lane = ((w + 127) // 128) * 128
-    wp = ((w + 2 * r + 127) // 128) * 128
-    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+    """Row-tile size for the backward kernels (see :func:`_bwd_need`)."""
     for cand in range(128, 7, -8):
-        thp = rup(cand)
-        hal = rup(cand + 2 * r)
-        need = (
-            2 * 4 * c * thp * w_lane            # f32 out block x2
-            + 4 * c * thp * w_lane              # f32 accumulator
-            + d * c * thp * w_lane * (itemsize + 4)  # unrolled temps
-        )
-        if dacc_halo:
-            # dnxt kernel: haloed dacc + prv DMAs and both shift bufs.
-            need += (
-                itemsize * d * d * (hal * wp + hal * w_lane)
-                + itemsize * c * (hal * wp + hal * w_lane)
-            )
-        else:
-            # dprv kernel: dacc arrives as a VMEM block (x2 buffered),
-            # nxt is the haloed DMA + shift buffer.
-            need += (
-                2 * itemsize * d * d * thp * w_lane
-                + itemsize * c * (hal * wp + hal * w_lane)
-            )
-        if need <= budget:
+        if _bwd_need(cand, w, c, d, itemsize, r, dacc_halo) <= budget:
             return cand
     return 8
 

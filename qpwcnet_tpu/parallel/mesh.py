@@ -15,6 +15,7 @@ jax.make_array_from_process_local_data.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Callable, Sequence
 
 import jax
@@ -50,6 +51,16 @@ def make_mesh_for_batch(
     if devices is None:
         devices = jax.devices()
     n_data = math.gcd(batch_size, len(devices))
+    if n_data < len(devices):
+        # Correctness-safe but a silent throughput loss otherwise: e.g.
+        # batch 12 on 8 devices trains on 4. Make it loud.
+        warnings.warn(
+            f"make_mesh_for_batch: batch_size={batch_size} is not "
+            f"divisible by the {len(devices)} available devices; using "
+            f"only {n_data} device(s). Pick a batch size divisible by "
+            f"the device count to use all of them.",
+            stacklevel=2,
+        )
     return make_mesh(n_data=n_data, devices=devices)
 
 

@@ -26,27 +26,35 @@ def quantize_tensor(x: jax.Array, scale: jax.Array,
 
 
 def int8_conv_apply(
-    x: jax.Array,
+    x,
     kernel: jax.Array,
-    in_amax: jax.Array,
+    in_amax: jax.Array | None,
     strides: Sequence[int] = (1, 1),
     padding: str = "SAME",
     feature_group_count: int = 1,
     transpose: bool = False,
     qmax: float = 127.0,
 ) -> jax.Array:
-    """Quantize input + kernel, run the conv in int8->int32, dequantize.
+    """Run a conv in int8 x int8 -> int32 on the MXU, dequantize.
 
-    in_amax: scalar activation absmax (from QAT quant_stats).
+    x: float array (quantized here with ``in_amax``, the QAT-calibrated
+    input absmax) or a :class:`~qpwcnet_tpu.quantize.qtensor.QTensor`
+    already carrying int8 values + scale from the producing layer — the
+    inter-layer fast path (no requantization, 1 byte/element traffic).
     Returns f32 output (bias/activation applied by the caller).
     """
-    s_in = (in_amax / qmax).astype(jnp.float32)
+    from qpwcnet_tpu.quantize.qtensor import QTensor
+
     red = tuple(range(kernel.ndim - 1))
     w_amax = jnp.max(jnp.abs(kernel), axis=red, keepdims=True)
     s_w = (w_amax / qmax).astype(jnp.float32)
-
-    x_q = quantize_tensor(x.astype(jnp.float32), s_in, qmax)
     k_q = quantize_tensor(kernel.astype(jnp.float32), s_w, qmax)
+
+    if isinstance(x, QTensor):
+        x_q, s_in = x.q, x.scale
+    else:
+        s_in = (in_amax / qmax).astype(jnp.float32)
+        x_q = quantize_tensor(x.astype(jnp.float32), s_in, qmax)
 
     if transpose:
         # conv_transpose spelled as an input-dilated conv so both

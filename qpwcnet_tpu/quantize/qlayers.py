@@ -28,16 +28,22 @@ from qpwcnet_tpu.quantize.fake_quant import (
     fake_quant,
     weight_scale,
 )
+from qpwcnet_tpu.quantize.qtensor import QTensor, quantize_to
 
 
 class ActQuant(nn.Module):
     """Per-tensor symmetric activation fake quant with an EMA absmax
-    range in the 'quant_stats' collection (updated when update=True)."""
+    range in the 'quant_stats' collection (updated when update=True).
+
+    emit_int8=True (int8 execution mode) returns a :class:`QTensor`
+    quantized with the calibrated range instead of a fake-quantized
+    float — the inter-layer int8 fast path (see quantize/qtensor.py).
+    """
 
     quant: QuantConfig
 
     @nn.compact
-    def __call__(self, x, update: bool = False):
+    def __call__(self, x, update: bool = False, emit_int8: bool = False):
         amax = self.variable(
             "quant_stats", "amax", lambda: jnp.zeros((), jnp.float32)
         )
@@ -49,6 +55,8 @@ class ActQuant(nn.Module):
                 ema * amax.value + (1.0 - ema) * batch_amax,
                 batch_amax,
             )
+        if emit_int8:
+            return quantize_to(x, amax.value, self.quant.qmax)
         scale = amax.value / self.quant.qmax
         return fake_quant(x, scale.astype(x.dtype), self.quant.qmax)
 
@@ -122,7 +130,11 @@ class QConv(nn.Module):
     quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x, update_stats: bool = False):
+    def __call__(self, x, update_stats: bool = False,
+                 emit_qtensor: bool = False):
+        """x: float array, or a QTensor in int8 mode (fast path).
+        emit_qtensor: in int8 mode, return the output as a QTensor
+        quantized with this layer's calibrated activation range."""
         kh, kw = self.kernel_size
         in_ch = x.shape[-1] // self.feature_group_count
         kernel = self.param(
@@ -165,6 +177,8 @@ class QConv(nn.Module):
                 qmax=self.quant.qmax,
             ).astype(self.dtype)
         else:
+            assert not isinstance(x, QTensor), (
+                "QTensor inputs are only valid in int8 execution mode")
             if self.quant is not None and self.quant.mode == "qat":
                 scale_in = (amax_in.value / self.quant.qmax).astype(
                     x.dtype)
@@ -202,7 +216,8 @@ class QConv(nn.Module):
             y = self.act(y)
         if self.quant is not None and self.quant.quantize_activations:
             y = ActQuant(self.quant, name="act_quant")(
-                y, update_stats and self.quant.mode == "qat"
+                y, update_stats and self.quant.mode == "qat",
+                emit_int8=emit_qtensor and self.quant.mode == "int8",
             )
         return y
 
@@ -220,7 +235,8 @@ class QConvTranspose(nn.Module):
     quant: Optional[QuantConfig] = None
 
     @nn.compact
-    def __call__(self, x, update_stats: bool = False):
+    def __call__(self, x, update_stats: bool = False,
+                 emit_qtensor: bool = False):
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -254,6 +270,8 @@ class QConvTranspose(nn.Module):
                 transpose=True, qmax=self.quant.qmax,
             ).astype(self.dtype)
         else:
+            assert not isinstance(x, QTensor), (
+                "QTensor inputs are only valid in int8 execution mode")
             if self.quant is not None and self.quant.mode == "qat":
                 # input FQ: match the int8 execution path (see QConv)
                 scale_in = (amax_in.value / self.quant.qmax).astype(
@@ -281,6 +299,7 @@ class QConvTranspose(nn.Module):
             y = self.act(y)
         if self.quant is not None and self.quant.quantize_activations:
             y = ActQuant(self.quant, name="act_quant")(
-                y, update_stats and self.quant.mode == "qat"
+                y, update_stats and self.quant.mode == "qat",
+                emit_int8=emit_qtensor and self.quant.mode == "int8",
             )
         return y

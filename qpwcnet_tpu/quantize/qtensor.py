@@ -1,0 +1,59 @@
+"""Quantized activation tensors that FLOW between layers.
+
+Round-2's int8 execution mode was *slower* than bf16 (89 vs 112
+pairs/s): every conv dequantized its int32 result to float, wrote the
+float map to HBM, and the next conv re-read it and re-quantized — ~9
+bytes/element of traffic where bf16 inference moves 4. The model is
+HBM-bandwidth-bound (DESIGN.md), so the deployment artifact lost.
+
+A :class:`QTensor` carries int8 values + the per-tensor scale across
+layer boundaries. Where two convs are directly chained, the producer
+quantizes its (bias+activation applied) output ONCE — with its own
+QAT-calibrated output range — and the consumer feeds the int8 values
+straight to the MXU, folding the producer's scale into its dequant
+multiplier. Inter-layer HBM traffic drops to 1 byte/element and the
+requantization pass disappears; XLA fuses the int32→dequant→bias→act→
+requant epilogue into the conv so no float intermediate ever reaches
+HBM. This is exactly the TFLite full-int8 execution model the
+reference's deployment path intends (convert_tflite.py:211-219).
+
+Non-conv consumers (cost volume, warp, BatchNorm, concat, resize) take
+floats: blocks call :func:`dequantize` at those boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class QTensor(NamedTuple):
+    """int8 values + scalar f32 scale: x ≈ q.astype(f32) * scale."""
+
+    q: jax.Array      # int8, any shape
+    scale: jax.Array  # f32 scalar
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def dequantize(x: Union[QTensor, jax.Array],
+               dtype=jnp.float32) -> jax.Array:
+    """QTensor -> float array; float arrays pass through."""
+    if isinstance(x, QTensor):
+        return x.q.astype(dtype) * x.scale.astype(dtype)
+    return x.astype(dtype) if x.dtype != dtype else x
+
+
+def quantize_to(x: jax.Array, amax: jax.Array,
+                qmax: float = 127.0) -> QTensor:
+    """Symmetric per-tensor quantization to int8 given an absmax."""
+    scale = (amax / qmax).astype(jnp.float32)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / safe), -qmax - 1, qmax
+    ).astype(jnp.int8)
+    return QTensor(q=q, scale=safe)

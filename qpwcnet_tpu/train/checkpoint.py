@@ -66,15 +66,33 @@ class CheckpointManager:
             lambda x: jax.ShapeDtypeStruct(jnp_shape(x), x.dtype),
             _to_save(state),
         )
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
-        )
-        return state.replace(
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except (KeyError, ValueError) as e:
+            if "quant_stats" not in template:
+                raise
+            # QAT state restoring a FLOAT checkpoint (e.g. starting a
+            # QAT fine-tune from a float training run): the checkpoint
+            # has no quant_stats subtree — restore everything else and
+            # keep the template's fresh (zero) ranges.
+            template.pop("quant_stats")
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(template)
+                )
+            except Exception:
+                raise e from None
+        state = state.replace(
             step=restored["step"],
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
+        if "quant_stats" in restored:
+            state = state.replace(quant_stats=restored["quant_stats"])
+        return state
 
     def close(self):
         self._mgr.close()
@@ -85,12 +103,20 @@ def jnp_shape(x):
 
 
 def _to_save(state) -> dict:
-    return {
+    out = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    # QAT runs MUST persist their calibrated activation ranges — losing
+    # quant_stats across an interrupt/resume silently destroys the int8
+    # deployment quality. Included only when non-empty (float states
+    # keep their round-1/2 checkpoint structure, and Orbax rejects
+    # empty subtrees).
+    if state.quant_stats:
+        out["quant_stats"] = state.quant_stats
+    return out
 
 
 def transfer_params(

