@@ -193,7 +193,8 @@ def main(cfg: Settings):
         state = mgr.restore(state)
         mgr.close()
     if not max(
-        (float(x) for x in jax.tree_util.tree_leaves(state.quant_stats)),
+        (float(jnp.max(x))
+         for x in jax.tree_util.tree_leaves(state.quant_stats)),
         default=0.0,
     ):
         # no calibrated ranges yet: run a few QAT steps to populate them

@@ -41,20 +41,41 @@ def int8_conv_apply(
     input absmax) or a :class:`~qpwcnet_tpu.quantize.qtensor.QTensor`
     already carrying int8 values + scale from the producing layer — the
     inter-layer fast path (no requantization, 1 byte/element traffic).
+
+    ``in_amax`` may be a PER-INPUT-CHANNEL vector (shape (Cin,)) for
+    convs that consume heterogeneous concats (the UpFlow
+    [cost, features, flow] input, where one per-tensor scale is
+    dominated by the flow channels). The per-channel scales fold into
+    the float kernel before kernel quantization — the conv is linear
+    over input channels, so int8 arithmetic stays exact:
+    conv(q_x * s_in[c], w) == conv(q_x, w * s_in[c]).
     Returns f32 output (bias/activation applied by the caller).
     """
     from qpwcnet_tpu.quantize.qtensor import QTensor
 
-    red = tuple(range(kernel.ndim - 1))
-    w_amax = jnp.max(jnp.abs(kernel), axis=red, keepdims=True)
-    s_w = (w_amax / qmax).astype(jnp.float32)
-    k_q = quantize_tensor(kernel.astype(jnp.float32), s_w, qmax)
-
+    kernel = kernel.astype(jnp.float32)
     if isinstance(x, QTensor):
         x_q, s_in = x.q, x.scale
+    elif in_amax is not None and jnp.ndim(in_amax) == 1:
+        # per-channel input quantization: quantize x per channel, fold
+        # the (safe) channel scales into the kernel, dequantize by the
+        # weight scale alone.
+        s_vec = (in_amax / qmax).astype(jnp.float32)
+        s_vec = jnp.where(s_vec > 0, s_vec, 1.0)
+        x_q = quantize_tensor(x.astype(jnp.float32), s_vec, qmax)
+        if kernel.shape[2] == 1 and feature_group_count == x.shape[-1]:
+            kernel = kernel * s_vec[None, None, None, :]  # depthwise
+        else:
+            kernel = kernel * s_vec[None, None, :, None]
+        s_in = jnp.float32(1.0)
     else:
         s_in = (in_amax / qmax).astype(jnp.float32)
         x_q = quantize_tensor(x.astype(jnp.float32), s_in, qmax)
+
+    red = tuple(range(kernel.ndim - 1))
+    w_amax = jnp.max(jnp.abs(kernel), axis=red, keepdims=True)
+    s_w = (w_amax / qmax).astype(jnp.float32)
+    k_q = quantize_tensor(kernel, s_w, qmax)
 
     if transpose:
         # conv_transpose spelled as an input-dilated conv so both
@@ -99,10 +120,14 @@ class Int8Conv:
     exported deployment bundle."""
 
     def __init__(self, kernel_i8: np.ndarray, w_scale: np.ndarray,
-                 bias: np.ndarray | None, in_amax: float):
+                 bias: np.ndarray | None, in_amax):
         self.kernel_i8 = kernel_i8
         self.w_scale = w_scale
         self.bias = bias
+        # scalar, or a per-input-channel vector for concat-consuming
+        # convs (folded into kernel_i8/w_scale already — runtime
+        # quantizes the input per channel and dequantizes by w_scale
+        # alone, mirroring int8_conv_apply).
         self.in_amax = in_amax
 
 
@@ -134,6 +159,15 @@ def convert_to_int8(params, quant_stats, qmax: float = 127.0) -> dict:
             continue
         prefix = path_str(path[:-1])
         kernel = np.asarray(leaf, np.float32)
+        in_amax = stats_by_prefix.get(prefix, np.float32(0.0))
+        if np.ndim(in_amax) == 1:
+            # per-channel input range (concat consumer): fold the input
+            # scales into the kernel exactly as int8_conv_apply does.
+            s_vec = np.where(in_amax > 0, in_amax / qmax, 1.0)
+            if kernel.shape[2] == 1:  # depthwise
+                kernel = kernel * s_vec[None, None, None, :]
+            else:
+                kernel = kernel * s_vec[None, None, :, None]
         red = tuple(range(kernel.ndim - 1))
         w_amax = np.max(np.abs(kernel), axis=red, keepdims=True)
         w_scale = np.where(w_amax > 0, w_amax / qmax, 1.0)
@@ -146,7 +180,8 @@ def convert_to_int8(params, quant_stats, qmax: float = 127.0) -> dict:
             k_q,
             w_scale.astype(np.float32),
             None if bias is None else np.asarray(bias, np.float32),
-            float(stats_by_prefix.get(prefix, 0.0)),
+            (np.asarray(in_amax, np.float32) if np.ndim(in_amax)
+             else float(in_amax)),
         )
     return out
 
@@ -169,10 +204,11 @@ def load_int8_bundle(path) -> dict:
     out = {}
     for name in names:
         bias_key = f"{name}::bias"
+        in_amax = data[f"{name}::in_amax"]
         out[name] = Int8Conv(
             data[f"{name}::kernel_i8"],
             data[f"{name}::w_scale"],
             data[bias_key] if bias_key in data.files else None,
-            float(data[f"{name}::in_amax"]),
+            in_amax if in_amax.ndim else float(in_amax),
         )
     return out

@@ -128,6 +128,14 @@ class QConv(nn.Module):
     dtype: Any = jnp.float32
     act: Optional[Callable] = None
     quant: Optional[QuantConfig] = None
+    # Per-input-channel input quantization: set on convs consuming
+    # heterogeneous concats (UpFlow's [cost, features, flow]), where one
+    # per-tensor input scale is dominated by the large flow channels and
+    # starves the cost/feature channels of resolution. The channel
+    # scales fold into the kernel in the int8 execution path, so the
+    # arithmetic stays int8 x int8 (quantize/int8.py).
+    per_channel_in: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False,
@@ -139,7 +147,7 @@ class QConv(nn.Module):
         in_ch = x.shape[-1] // self.feature_group_count
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (kh, kw, in_ch, self.features),
             jnp.float32,
         )
@@ -153,13 +161,19 @@ class QConv(nn.Module):
             # the UpFlow concat [cost, features, flow] shares one
             # per-tensor scale dominated by the flow channels; without
             # input FQ the deployed int8 EPE was 4x the QAT-sim EPE).
+            in_shape = (x.shape[-1],) if self.per_channel_in else ()
             amax_in = self.variable(
                 "quant_stats", "amax_in",
-                lambda: jnp.zeros((), jnp.float32),
+                lambda: jnp.zeros(in_shape, jnp.float32),
             )
             if (self.quant.mode == "qat" and update_stats
                     and not self.is_initializing()):
-                batch_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
+                if self.per_channel_in:
+                    batch_amax = jnp.max(
+                        jnp.abs(x), axis=tuple(range(x.ndim - 1))
+                    ).astype(jnp.float32)
+                else:
+                    batch_amax = jnp.max(jnp.abs(x)).astype(jnp.float32)
                 ema = self.quant.act_ema
                 amax_in.value = jnp.where(
                     amax_in.value > 0,

@@ -147,9 +147,12 @@ def test_train_flow_qat_interrupt_resume(tmp_path):
     sb = load(tmp_path / "b2")
     assert int(sa.step) == 4 and int(sb.step) == 4
     # calibrated ranges survived the interrupt: non-zero and identical
-    qa = [float(x) for x in jax.tree_util.tree_leaves(sa.quant_stats)]
-    qb = [float(x) for x in jax.tree_util.tree_leaves(sb.quant_stats)]
-    assert max(qa) > 0
+    # (ravel: amax_in is a per-channel vector on concat consumers)
+    qa = np.concatenate([np.ravel(x) for x in
+                         jax.tree_util.tree_leaves(sa.quant_stats)])
+    qb = np.concatenate([np.ravel(x) for x in
+                         jax.tree_util.tree_leaves(sb.quant_stats)])
+    assert float(np.max(qa)) > 0
     np.testing.assert_allclose(qa, qb, rtol=1e-6)
     # identical int8 deployment bundles
     ba = convert_to_int8(sa.params, sa.quant_stats)

