@@ -58,7 +58,9 @@ def bench_chained(forward, x, feedback, windows: int = 5, iters: int = 8):
     output->input dependency (feedback(x, out) -> next x). The chain
     defeats async-dispatch pipelining and the remote tunnel's result
     caching; best-of-windows rides out the shared tunnel's >2x
-    run-to-run variance."""
+    run-to-run variance. Each window ends with a scalar HOST READOUT:
+    block_until_ready on tunnel buffers can return before device
+    completion, a device->host read cannot."""
     out = forward(x)
     jax.block_until_ready(out)
     best_dt = float("inf")
@@ -67,7 +69,7 @@ def bench_chained(forward, x, feedback, windows: int = 5, iters: int = 8):
         for _ in range(iters):
             out = forward(x)
             x = feedback(x, out)
-        jax.block_until_ready(x)
+        float(jnp.sum(jnp.ravel(x)[:2]))
         dt = (time.perf_counter() - t0) / iters
         best_dt = min(best_dt, dt)
     return best_dt
@@ -116,7 +118,7 @@ def bench_train_steps(dtype):
             t0 = time.perf_counter()
             for _ in range(6):
                 state, metrics = step(state, batch)
-            jax.block_until_ready(state.params)
+            float(metrics["loss"])  # host readout = the only real sync
             best_dt = min(best_dt, (time.perf_counter() - t0) / 6)
         img_s = bs / best_dt
         log(f"{name}: {best_dt * 1e3:.2f} ms/step -> {img_s:.1f} img/s "
@@ -153,7 +155,9 @@ def bench_int8(hw, batch):
     best_dt = bench_chained(
         lambda xx: forward(variables, xx),
         x,
-        lambda xx, out: xx + 1e-2 * jnp.concatenate(
+        # xx*1.001 keeps the chain evolving even if out == 0 (zero-init
+        # flow heads) — otherwise identical calls hit the tunnel cache.
+        lambda xx, out: xx * 1.001 + 1e-2 * jnp.concatenate(
             [out, out, out], axis=-1),
         windows=4, iters=6,
     )
@@ -201,7 +205,10 @@ def main():
     # input derives from the previous step's flow. This defeats both
     # async-dispatch pipelining AND the remote tunnel's result caching
     # of repeated identical executions (which otherwise fakes a ~400x
-    # speedup). Slightly conservative: includes the feedback concat+add.
+    # speedup). The x*1.001 term keeps the chain evolving even when the
+    # model output is exactly zero (fresh zero-init flow heads would
+    # otherwise make every call identical and cache-hit). Slightly
+    # conservative: includes the feedback ops.
     # Best-of-5 windows: the shared tunnel shows >2x run-to-run
     # variance; the fastest window is closest to true device speed.
     best_dt = float("inf")
@@ -210,8 +217,13 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_iter):
             out = forward(variables, x)
-            x = x + 1e-3 * jnp.concatenate([out, out, out], axis=-1)
-        x.block_until_ready()
+            x = x * 1.001 + 1e-3 * jnp.concatenate([out, out, out],
+                                                   axis=-1)
+        # Host readout is the sync: block_until_ready on axon tunnel
+        # buffers has been observed to return before device completion
+        # (measured 0.3 ms/step "timings"); a scalar device->host read
+        # cannot lie. Cost ~1 RTT amortized over the window.
+        float(jnp.sum(x[0, 0, :2]))
         dt = (time.perf_counter() - t0) / n_iter
         log(f"window {w}: chained step={dt * 1e3:.2f} ms")
         best_dt = min(best_dt, dt)

@@ -238,15 +238,26 @@ class OptFlow(nn.Module):
 
 class FlowBlock(nn.Module):
     """Coarsest-level flow estimator (layers.py:405-440):
-    concat[cost_volume(prv, nxt), prv, nxt] -> OptFlow."""
+    concat[cost_volume(prv, nxt), prv, nxt] -> OptFlow.
+
+    spatial: a parallel.spatial_ops.SpatialConfig when the forward runs
+    H-sharded — the cost volume then halo-exchanges rows between shards
+    and keeps the fused Pallas kernel (the spatial fast path)."""
 
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
     quant: Optional[QuantConfig] = None
+    spatial: Any = None
 
     @nn.compact
     def __call__(self, prv, nxt, train: bool = False):
-        cost = cost_volume(prv, nxt, impl=self.cv_impl)
+        if self.spatial is not None:
+            from qpwcnet_tpu.parallel.spatial_ops import (
+                cost_volume_spatial)
+
+            cost = cost_volume_spatial(prv, nxt, self.spatial)
+        else:
+            cost = cost_volume(prv, nxt, impl=self.cv_impl)
         feat = jnp.concatenate([cost, prv, nxt], axis=-1)
         return OptFlow(dtype=self.dtype, quant=self.quant,
                        name="flow")(feat, train=train)
@@ -256,16 +267,28 @@ class UpFlowBlock(nn.Module):
     """Per-level flow refinement (layers.py:443-495): warp nxt by the
     upsampled flow, correlate against prv, concat[cost, prv, flo] ->
     OptFlow. Note: the warped features are NOT concatenated (layers.py:482)
-    — only cost, prv, flo."""
+    — only cost, prv, flo.
+
+    spatial: see FlowBlock — additionally bounds the warp to a
+    ±warp_halo row window per shard instead of the all-gather fallback."""
 
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
     quant: Optional[QuantConfig] = None
+    spatial: Any = None
 
     @nn.compact
     def __call__(self, prv, nxt, flo, train: bool = False):
-        nxt_w = backward_warp(nxt, flo.astype(jnp.float32))
-        cost = cost_volume(prv, nxt_w, impl=self.cv_impl)
+        if self.spatial is not None:
+            from qpwcnet_tpu.parallel.spatial_ops import (
+                backward_warp_spatial, cost_volume_spatial)
+
+            nxt_w = backward_warp_spatial(
+                nxt, flo.astype(jnp.float32), self.spatial)
+            cost = cost_volume_spatial(prv, nxt_w, self.spatial)
+        else:
+            nxt_w = backward_warp(nxt, flo.astype(jnp.float32))
+            cost = cost_volume(prv, nxt_w, impl=self.cv_impl)
         feat = jnp.concatenate(
             [cost, prv, flo.astype(prv.dtype)], axis=-1
         )

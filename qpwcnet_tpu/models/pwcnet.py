@@ -120,13 +120,16 @@ class Flower(nn.Module):
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
     quant: QuantConfig | None = None
+    spatial: Any = None
 
     def setup(self):
         self.flow = FlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
-                              quant=self.quant, name="flow_0")
+                              quant=self.quant, spatial=self.spatial,
+                              name="flow_0")
         self.upflows = [
             UpFlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
-                        quant=self.quant, name=f"upflow_{i}")
+                        quant=self.quant, spatial=self.spatial,
+                        name=f"upflow_{i}")
             for i in range(self.num_levels)
         ]
 
@@ -153,12 +156,13 @@ class PWCFlowNet(nn.Module):
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
     quant: QuantConfig | None = None
+    spatial: Any = None
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
-                             quant=self.quant)
+                             quant=self.quant, spatial=self.spatial)
 
     def __call__(self, inputs, train: bool = False):
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
@@ -265,16 +269,25 @@ def build_flow_net(
     cv_impl: str = "auto",
     init_hw: tuple[int, int] = (64, 128),
     quant: QuantConfig | None = None,
+    spatial: Any = None,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
     `input_hw` documents the intended apply resolution (any multiple of
     32 works — params are shape-independent, see _init_variables).
+    `spatial`: a parallel.spatial_ops.SpatialConfig for the H-sharded
+    fast path (halo-exchanged Pallas cost volume + window warp). The
+    variables are initialized WITHOUT it (single device init) — params
+    are identical either way.
     Returns (module, variables) where variables = {'params', 'batch_stats'}.
     """
     del input_hw
-    model = PWCFlowNet(dtype=dtype, cv_impl=cv_impl, quant=quant)
-    return model, _init_variables(model, rng, init_hw)
+    init_model = PWCFlowNet(dtype=dtype, cv_impl=cv_impl, quant=quant)
+    variables = _init_variables(init_model, rng, init_hw)
+    model = (init_model if spatial is None else
+             PWCFlowNet(dtype=dtype, cv_impl=cv_impl, quant=quant,
+                        spatial=spatial))
+    return model, variables
 
 
 def build_interpolator(

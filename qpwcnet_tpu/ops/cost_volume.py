@@ -71,6 +71,35 @@ def cost_volume_xla(
     return leaky_relu(cvol, 0.1).astype(prv.dtype).transpose(0, 2, 3, 1)
 
 
+def cost_volume_xla_haloed(
+    prv: jax.Array, nxt_h: jax.Array, search_range: int = 4
+) -> jax.Array:
+    """:func:`cost_volume_xla` with the H halo supplied by the caller:
+    ``nxt_h`` is (B, H + 2r, W, C) with rows [r, H + r) aligned to prv
+    (the spatial-sharding fast path exchanges those rows between shards
+    instead of zero-padding; qpwcnet_tpu.parallel.spatial_ops)."""
+    r = search_range
+    d = 2 * r + 1
+    b, h, w, c = prv.shape
+    acc_dtype = jnp.float32
+
+    prv32 = prv.astype(acc_dtype)
+    pad_nxt = jnp.pad(
+        nxt_h.astype(acc_dtype), ((0, 0), (0, 0), (r, r), (0, 0))
+    )
+
+    inv_c = 1.0 / c
+    costs = []
+    for i0 in range(d):
+        for j0 in range(d):
+            roi = jax.lax.slice(
+                pad_nxt, (0, i0, j0, 0), (b, i0 + h, j0 + w, c)
+            )
+            costs.append(jnp.sum(prv32 * roi, axis=-1) * inv_c)
+    cvol = jnp.stack(costs, axis=1)  # (B, d*d, H, W)
+    return leaky_relu(cvol, 0.1).astype(prv.dtype).transpose(0, 2, 3, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("search_range", "impl"))
 def cost_volume(
     prv: jax.Array,

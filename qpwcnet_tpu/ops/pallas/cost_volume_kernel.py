@@ -27,11 +27,53 @@ nxt, then leaky_relu(0.1); output channel k = (di+r)*(2r+1) + (dj+r).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# NHWC<->NCHW relayout strategy around the kernels: 'transpose' uses
+# jnp.transpose; 'conv' routes the relayout through an identity-kernel
+# convolution so the MXU performs it (bit-exact: multiplying by an
+# exact 0/1 kernel is lossless in every dtype; f32 uses HIGHEST
+# precision so operands are not truncated to bf16). A/B-measured on the
+# 448x1024 b8 headline with host-readout sync: the two are EQUAL within
+# noise (105.0 vs 105.0 ms best-of-6) — XLA already overlaps these
+# transposes well — so the simpler 'transpose' is the default and
+# 'conv' stays available for layout experiments (DESIGN.md open
+# item 6).
+_RELAYOUT = os.environ.get("QPWCNET_CV_RELAYOUT", "transpose")
+
+
+def _relayout_precision(dtype):
+    return (jax.lax.Precision.HIGHEST
+            if dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
+def _to_chw(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, C, H, W)."""
+    if _RELAYOUT != "conv":
+        return x.transpose(0, 3, 1, 2)
+    c = x.shape[-1]
+    eye = jnp.eye(c, dtype=x.dtype).reshape(1, 1, c, c)
+    return jax.lax.conv_general_dilated(
+        x, eye, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        precision=_relayout_precision(x.dtype))
+
+
+def _to_hwc(x: jax.Array) -> jax.Array:
+    """(B, C, H, W) -> (B, H, W, C)."""
+    if _RELAYOUT != "conv":
+        return x.transpose(0, 2, 3, 1)
+    c = x.shape[1]
+    eye = jnp.eye(c, dtype=x.dtype).reshape(1, 1, c, c)
+    return jax.lax.conv_general_dilated(
+        x, eye, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        precision=_relayout_precision(x.dtype))
 
 
 def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, shiftb, sem, *, r: int,
@@ -74,13 +116,14 @@ def _cv_kernel(prv_ref, nxt_hbm, out_ref, scratch, shiftb, sem, *, r: int,
             ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def cost_volume_pallas(
     prv: jax.Array,
     nxt: jax.Array,
     search_range: int = 4,
     tile_h: int | None = None,
     interpret: bool = False,
+    nxt_h_haloed: bool = False,
 ) -> jax.Array:
     """Fused cost volume. prv, nxt: (B, H, W, C) -> (B, H, W, (2r+1)²).
 
@@ -90,17 +133,27 @@ def cost_volume_pallas(
     (:func:`_cv_bwd_prv_kernel` / :func:`_cv_bwd_nxt_kernel`) — the XLA
     VJP of the shift-and-multiply formulation balloons to ~36 GB of HBM
     temporaries at 448x1024 b8 (DESIGN.md).
+
+    nxt_h_haloed: the caller supplies ``nxt`` with the H halo already
+    attached — shape (B, H + 2r, W, C), rows [r, H+r) aligned with prv —
+    instead of relying on internal zero padding. This is the spatial
+    (H-sharded) fast path: each shard halo-exchanges r rows with its
+    mesh neighbors and calls the kernel locally
+    (qpwcnet_tpu.parallel.spatial_ops). The VJP then returns d(nxt)
+    with the same haloed shape, so halo-row gradients flow back through
+    the exchange's transpose automatically.
     """
     return _cost_volume_pallas_impl(
         prv, nxt, search_range=search_range, tile_h=tile_h,
-        interpret=interpret,
+        interpret=interpret, nxt_h_haloed=nxt_h_haloed,
     )
 
 
-def _cv_pallas_fwd(prv, nxt, search_range, tile_h, interpret):
+def _cv_pallas_fwd(prv, nxt, search_range, tile_h, interpret,
+                   nxt_h_haloed):
     out = _cost_volume_pallas_impl(
         prv, nxt, search_range=search_range, tile_h=tile_h,
-        interpret=interpret,
+        interpret=interpret, nxt_h_haloed=nxt_h_haloed,
     )
     # Residuals: out is kept (it is live downstream anyway) so the
     # leaky-relu mask needs no recompute: sign(out) == sign(acc).
@@ -125,16 +178,22 @@ def _bwd_kernels_fit(h, w, c, d, itemsize, r) -> bool:
     return True
 
 
-def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
+def _cv_pallas_bwd(search_range, tile_h, interpret, nxt_h_haloed, res, g):
     prv, nxt, out = res
     b, h, w, c = prv.shape
     d = 2 * search_range + 1
     if not _bwd_kernels_fit(h, w, c, d, prv.dtype.itemsize, search_range):
-        from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+        from qpwcnet_tpu.ops.cost_volume import (
+            cost_volume_xla, cost_volume_xla_haloed)
 
-        _, vjp = jax.vjp(
-            lambda p, n: cost_volume_xla(p, n, search_range), prv, nxt
-        )
+        if nxt_h_haloed:
+            _, vjp = jax.vjp(
+                lambda p, n: cost_volume_xla_haloed(p, n, search_range),
+                prv, nxt)
+        else:
+            _, vjp = jax.vjp(
+                lambda p, n: cost_volume_xla(p, n, search_range), prv, nxt
+            )
         return vjp(g)
     # d(leaky_relu)/d(acc) from the saved output sign; elementwise, XLA
     # fuses it into the producers of g.
@@ -145,9 +204,11 @@ def _cv_pallas_bwd(search_range, tile_h, interpret, res, g):
     dacc = (g * jnp.where(out > 0, 1.0, 0.1).astype(g.dtype))
     dprv = _cv_bwd_prv_impl(
         dacc, nxt, search_range=search_range, interpret=interpret,
+        nxt_h_haloed=nxt_h_haloed,
     ).astype(prv.dtype)
     dnxt = _cv_bwd_nxt_impl(
         dacc, prv, search_range=search_range, interpret=interpret,
+        h_haloed_out=nxt_h_haloed,
     ).astype(nxt.dtype)
     return dprv, dnxt
 
@@ -268,25 +329,31 @@ def _cv_bwd_nxt_kernel(dacc_hbm, prv_hbm, out_ref, dacc_s, prv_s,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
+    jax.jit,
+    static_argnames=("search_range", "tile_h", "interpret",
+                     "nxt_h_haloed"),
 )
 def _cv_bwd_prv_impl(dacc, nxt, search_range=4, tile_h=None,
-                     interpret=False):
+                     interpret=False, nxt_h_haloed=False):
     r = search_range
     d = 2 * r + 1
-    b, h, w, c = nxt.shape
+    b, h, w, _ = dacc.shape
+    c = nxt.shape[-1]
     th = tile_h or _pick_tile_h_bwd(
         h, w, c, d, nxt.dtype.itemsize, r, dacc_halo=False)
     th = min(th, max(8, ((h + 7) // 8) * 8))
     hp = ((h + th - 1) // th) * th
     wp = ((w + 2 * r + 127) // 128) * 128
 
-    dacc_t = dacc.transpose(0, 3, 1, 2)           # (B, d*d, H, W)
-    nxt_t = nxt.transpose(0, 3, 1, 2)             # (B, C, H, W)
+    dacc_t = _to_chw(dacc)                        # (B, d*d, H, W)
+    nxt_t = _to_chw(nxt)                          # (B, C, H(+2r), W)
     if hp != h:
         dacc_t = jnp.pad(dacc_t, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    # nxt needs rows [-r, hp + r) relative to prv/dacc rows: zero-pad,
+    # or keep the caller-supplied halo rows (spatial fast path).
+    h_pad = (0, hp - h) if nxt_h_haloed else (r, r + (hp - h))
     nxt_t = jnp.pad(
-        nxt_t, ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r))
+        nxt_t, ((0, 0), (0, 0), h_pad, (r, wp - w - r))
     )
     kernel = functools.partial(
         _cv_bwd_prv_kernel, r=r, th=th, w=w, inv_c=1.0 / c
@@ -312,31 +379,43 @@ def _cv_bwd_prv_impl(dacc, nxt, search_range=4, tile_h=None,
         ],
         interpret=interpret,
     )(dacc_t, nxt_t)
-    return out[:, :, :h, :].transpose(0, 2, 3, 1)
+    return _to_hwc(out[:, :, :h, :])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
+    jax.jit,
+    static_argnames=("search_range", "tile_h", "interpret",
+                     "h_haloed_out"),
 )
 def _cv_bwd_nxt_impl(dacc, prv, search_range=4, tile_h=None,
-                     interpret=False):
+                     interpret=False, h_haloed_out=False):
+    """d(cost)/d(nxt). h_haloed_out=True additionally emits the gradient
+    rows for the r halo rows above and below the image (output shape
+    (B, H + 2r, W, C)) — the spatial fast path's nxt carries those rows.
+    Derivation: dnxt[u] for u in [-r, H + r) needs (dacc·prv) products at
+    rows u + 2r - di, so the operands are padded by 2r (instead of r) and
+    the output row count grows by 2r; rows outside [0, H) contribute
+    zeros exactly as in the zero-padded formulation."""
     r = search_range
     d = 2 * r + 1
     b, h, w, c = prv.shape
     wp = ((w + 2 * r + 127) // 128) * 128
     itemsize = max(dacc.dtype.itemsize, prv.dtype.itemsize)
+    out_h = h + 2 * r if h_haloed_out else h
     th = tile_h or _pick_tile_h_bwd(
-        h, w, c, d, itemsize, r, dacc_halo=True)
-    th = min(th, max(8, ((h + 7) // 8) * 8))
-    hp = ((h + th - 1) // th) * th
+        out_h, w, c, d, itemsize, r, dacc_halo=True)
+    th = min(th, max(8, ((out_h + 7) // 8) * 8))
+    hp = ((out_h + th - 1) // th) * th
 
+    pad_lo = 2 * r if h_haloed_out else r
+    h_pad = (pad_lo, pad_lo + (hp - out_h))
     dacc_t = jnp.pad(
-        dacc.transpose(0, 3, 1, 2),
-        ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r)),
+        _to_chw(dacc),
+        ((0, 0), (0, 0), h_pad, (r, wp - w - r)),
     )
     prv_t = jnp.pad(
-        prv.transpose(0, 3, 1, 2),
-        ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r)),
+        _to_chw(prv),
+        ((0, 0), (0, 0), h_pad, (r, wp - w - r)),
     )
     kernel = functools.partial(
         _cv_bwd_nxt_kernel, r=r, th=th, w=w, inv_c=1.0 / c
@@ -363,11 +442,13 @@ def _cv_bwd_nxt_impl(dacc, prv, search_range=4, tile_h=None,
         ],
         interpret=interpret,
     )(dacc_t, prv_t)
-    return out[:, :, :h, :].transpose(0, 2, 3, 1)
+    return _to_hwc(out[:, :, :out_h, :])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("search_range", "tile_h", "interpret")
+    jax.jit,
+    static_argnames=("search_range", "tile_h", "interpret",
+                     "nxt_h_haloed"),
 )
 def _cost_volume_pallas_impl(
     prv: jax.Array,
@@ -375,6 +456,7 @@ def _cost_volume_pallas_impl(
     search_range: int = 4,
     tile_h: int | None = None,
     interpret: bool = False,
+    nxt_h_haloed: bool = False,
 ) -> jax.Array:
     r = search_range
     d = 2 * r + 1
@@ -414,13 +496,15 @@ def _cost_volume_pallas_impl(
     # (128) because HBM->VMEM DMA slices must be 128-aligned in the last
     # dim (Mosaic tiling constraint).
     wp = wp_for(w)
-    prv_t = prv.transpose(0, 3, 1, 2)
-    nxt_t = nxt.transpose(0, 3, 1, 2)
+    prv_t = _to_chw(prv)
+    nxt_t = _to_chw(nxt)
     if hp != h:
         prv_t = jnp.pad(prv_t, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    # H halo: zero-padded here, or supplied by the caller (spatial path).
+    h_pad = (0, hp - h) if nxt_h_haloed else (r, r + (hp - h))
     nxt_t = jnp.pad(
         nxt_t,
-        ((0, 0), (0, 0), (r, r + (hp - h)), (r, wp - w - r)),
+        ((0, 0), (0, 0), h_pad, (r, wp - w - r)),
     )
 
     kernel = functools.partial(
@@ -451,5 +535,4 @@ def _cost_volume_pallas_impl(
         interpret=interpret,
     )(prv_t, nxt_t)
 
-    out = out[:, :, :h, :]
-    return out.transpose(0, 2, 3, 1)
+    return _to_hwc(out[:, :, :h, :])

@@ -38,6 +38,8 @@ the production op).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -57,13 +59,18 @@ def _gather_hw(img_flat: jax.Array, lin_idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(img_flat, lin_idx[..., None], axis=1)
 
 
-def _warp_coords(flow, h: int, w: int, hp: int, wp: int):
+def _warp_coords(flow, h: int, w: int, hp: int, wp: int,
+                 y_offset: int = 0):
     """Shared coordinate math: clipped corner origin + interpolation
     weights (tfa.image.interpolate_bilinear semantics: floor clamped to
-    [0, size-2], alphas clipped to [0, 1] => border-clamped sampling)."""
+    [0, size-2], alphas clipped to [0, 1] => border-clamped sampling).
+
+    y_offset shifts the query rows: output row y samples source row
+    ``y + y_offset + flow_y`` (the spatial-sharding window warp, where
+    the source carries halo rows above the output rows)."""
     gy, gx = _grid(h, w)
     qx = gx[None] + flow[..., 0]
-    qy = gy[None] + flow[..., 1]
+    qy = gy[None] + flow[..., 1] + float(y_offset)
     x0 = jnp.clip(jnp.floor(qx), 0.0, wp - 2.0)
     y0 = jnp.clip(jnp.floor(qy), 0.0, hp - 2.0)
     ax = jnp.clip(qx - x0, 0.0, 1.0)
@@ -71,21 +78,23 @@ def _warp_coords(flow, h: int, w: int, hp: int, wp: int):
     return x0, y0, ax, ay
 
 
-def _warp_impl(img: jax.Array, flow: jax.Array) -> jax.Array:
-    b, h, w, c = img.shape
+def _warp_impl(img: jax.Array, flow: jax.Array,
+               y_offset: int = 0) -> jax.Array:
+    b, hi, wi, c = img.shape
+    _, h, w, _ = flow.shape  # output spatial dims follow the flow
     flow = flow.astype(jnp.float32)
 
     # degenerate 1-pixel dims: edge-pad the operand so the 2x2 slice
     # fits; border-clamped sampling is unchanged.
-    if h < 2 or w < 2:
+    if hi < 2 or wi < 2:
         img = jnp.pad(
             img,
-            ((0, 0), (0, max(0, 2 - h)), (0, max(0, 2 - w)), (0, 0)),
+            ((0, 0), (0, max(0, 2 - hi)), (0, max(0, 2 - wi)), (0, 0)),
             mode="edge",
         )
-    hp, wp = max(h, 2), max(w, 2)
+    hp, wp = max(hi, 2), max(wi, 2)
 
-    x0, y0, ax, ay = _warp_coords(flow, h, w, hp, wp)
+    x0, y0, ax, ay = _warp_coords(flow, h, w, hp, wp, y_offset)
     ax = ax[..., None].astype(img.dtype)
     ay = ay[..., None].astype(img.dtype)
 
@@ -143,20 +152,20 @@ def _warp_fwd(img, flow):
     return _warp_impl(img, flow), (img, flow)
 
 
-def _warp_bwd(res, g):
-    img, flow = res
-    b, h, w, c = img.shape
+def _warp_bwd_impl(img, flow, g, y_offset: int = 0):
+    b, hi, wi, c = img.shape
+    _, h, w, _ = flow.shape
     flow_f = flow.astype(jnp.float32)
-    hp, wp = max(h, 2), max(w, 2)
+    hp, wp = max(hi, 2), max(wi, 2)
 
     # d_flow: differentiate the forward wrt flow only — this path is
     # elementwise over the gathered corners (no scatter; the gather's
     # integer index path carries no gradient).
-    _, flow_vjp = jax.vjp(lambda f: _warp_impl(img, f), flow)
+    _, flow_vjp = jax.vjp(lambda f: _warp_impl(img, f, y_offset), flow)
     d_flow = flow_vjp(g)[0]
 
     # d_img: four single-index scatter-adds over flattened HW.
-    x0, y0, ax, ay = _warp_coords(flow_f, h, w, hp, wp)
+    x0, y0, ax, ay = _warp_coords(flow_f, h, w, hp, wp, y_offset)
     lin = (y0 * wp + x0).astype(jnp.int32).reshape(b, h * w)
     gf = g.reshape(b, h * w, c)
     ax = ax.reshape(b, h * w, 1).astype(g.dtype)
@@ -171,14 +180,49 @@ def _warp_bwd(res, g):
     d_img = acc.reshape(b, hp, wp, c)
     # fold gradients of the degenerate-dim edge padding back onto the
     # edge pixels (pad mode="edge" in _warp_impl).
-    if hp != h:
-        d_img = d_img[:, :h].at[:, h - 1].add(d_img[:, h:].sum(1))
-    if wp != w:
-        d_img = d_img[:, :, :w].at[:, :, w - 1].add(d_img[:, :, w:].sum(2))
+    if hp != hi:
+        d_img = d_img[:, :hi].at[:, hi - 1].add(d_img[:, hi:].sum(1))
+    if wp != wi:
+        d_img = d_img[:, :, :wi].at[:, :, wi - 1].add(
+            d_img[:, :, wi:].sum(2))
     return d_img.astype(img.dtype), d_flow.astype(flow.dtype)
 
 
+def _warp_bwd(res, g):
+    img, flow = res
+    return _warp_bwd_impl(img, flow, g)
+
+
 backward_warp.defvjp(_warp_fwd, _warp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def backward_warp_window(img: jax.Array, flow: jax.Array,
+                         y_offset: int) -> jax.Array:
+    """:func:`backward_warp` sampling from a TALLER source window.
+
+    img: (B, H_out + extra, W, C) — typically the local H shard plus
+    halo rows exchanged from mesh neighbors (spatial sharding,
+    qpwcnet_tpu.parallel.spatial_ops); flow: (B, H_out, W, 2).
+
+    out[b, y, x] = img[b, y + y_offset + flow_y, x + flow_x], bilinear,
+    clamped to the WINDOW bounds — with y_offset = halo this equals the
+    global backward_warp wherever |flow_y| <= halo and the halo rows
+    replicate the global border where the window crosses it.
+    """
+    return _warp_impl(img, flow, y_offset)
+
+
+def _warp_window_fwd(img, flow, y_offset):
+    return _warp_impl(img, flow, y_offset), (img, flow)
+
+
+def _warp_window_bwd(y_offset, res, g):
+    img, flow = res
+    return _warp_bwd_impl(img, flow, g, y_offset)
+
+
+backward_warp_window.defvjp(_warp_window_fwd, _warp_window_bwd)
 
 
 def backward_warp_manual(img: jax.Array, flow: jax.Array) -> jax.Array:

@@ -11,8 +11,16 @@ from qpwcnet_tpu.parallel.multihost import (
     make_global_batch,
     is_primary,
 )
+from qpwcnet_tpu.parallel.spatial_ops import (
+    SpatialConfig,
+    backward_warp_spatial,
+    cost_volume_spatial,
+)
 
 __all__ = [
+    "SpatialConfig",
+    "backward_warp_spatial",
+    "cost_volume_spatial",
     "make_mesh",
     "make_mesh_for_batch",
     "put_batch",

@@ -1,6 +1,7 @@
 """Tests for resize, flow_vis, occlusion, and activations ops."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -20,6 +21,23 @@ def test_mish_values():
     want = x * np.tanh(np.log1p(np.exp(x)))
     np.testing.assert_allclose(np.asarray(mish(jnp.asarray(x))), want,
                                atol=5e-4)
+
+
+def test_mish_single_exp_form_matches_textbook():
+    """The one-transcendental form ((t²+2t)/(t²+2t+2), t=e^x) must match
+    x*tanh(softplus(x)) to ~ulp across the full range, stay finite past
+    the large-x cutoff, and keep finite gradients everywhere."""
+    x = np.linspace(-40.0, 40.0, 4001).astype(np.float32)
+    want = (x.astype(np.float64)
+            * np.tanh(np.log1p(np.exp(x.astype(np.float64)))))
+    got = np.asarray(mish(jnp.asarray(x)), np.float64)
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
+
+    g = np.asarray(jax.vmap(jax.grad(mish))(jnp.asarray(x)))
+    assert np.all(np.isfinite(g))
+    # d(mish)/dx -> 1 for large x, -> 0 for very negative x
+    np.testing.assert_allclose(g[-1], 1.0, atol=1e-6)
+    np.testing.assert_allclose(g[0], 0.0, atol=1e-6)
 
 
 def test_leaky_relu_slope():

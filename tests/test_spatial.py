@@ -1,5 +1,8 @@
 """Spatial-sharding tests: H-sharded forward over a (data=2, model=4)
-mesh matches the unsharded forward (XLA inserts conv halo exchanges)."""
+mesh matches the unsharded forward (XLA inserts conv halo exchanges),
+and the shard_map FAST PATH (halo-exchanged Pallas cost volume +
+window warp, parallel/spatial_ops.py) matches the global ops in both
+values and gradients."""
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +14,128 @@ from qpwcnet_tpu.parallel.spatial import (
     make_spatial_forward,
     shard_batch_spatial,
 )
+from qpwcnet_tpu.parallel.spatial_ops import (
+    SpatialConfig,
+    backward_warp_spatial,
+    cost_volume_spatial,
+)
+
+
+def _spatial_cfg(mesh, **kw):
+    kw.setdefault("cv_impl", "xla")  # CPU test platform default
+    return SpatialConfig(mesh=mesh, **kw)
+
+
+def test_cost_volume_spatial_matches_global():
+    from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rng = np.random.RandomState(0)
+    prv = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+    nxt = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+
+    ref = cost_volume_xla(prv, nxt)
+    out = jax.jit(
+        lambda p, n: cost_volume_spatial(p, n, _spatial_cfg(mesh))
+    )(prv, nxt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cost_volume_spatial_grads_match_global():
+    """Halo-row gradients must flow back through the ppermute transpose:
+    d/d(nxt) of the sharded cost volume == the global VJP."""
+    from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rng = np.random.RandomState(1)
+    prv = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+    nxt = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 16, 12, 81).astype(np.float32))
+
+    def loss_ref(p, n):
+        return jnp.sum(cost_volume_xla(p, n) * g)
+
+    def loss_sh(p, n):
+        return jnp.sum(cost_volume_spatial(p, n, _spatial_cfg(mesh)) * g)
+
+    gp_ref, gn_ref = jax.grad(loss_ref, argnums=(0, 1))(prv, nxt)
+    gp_sh, gn_sh = jax.jit(jax.grad(loss_sh, argnums=(0, 1)))(prv, nxt)
+    np.testing.assert_allclose(np.asarray(gp_sh), np.asarray(gp_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gn_sh), np.asarray(gn_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_cost_volume_spatial_pallas_interpret_matches_global():
+    """The spatial fast path with the REAL Pallas kernel (interpret mode
+    on the CPU mesh): values AND both gradients equal the global XLA
+    formulation — the nxt_h_haloed kernel variant plus halo exchange."""
+    from qpwcnet_tpu.ops.cost_volume import cost_volume_xla
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    cfg = _spatial_cfg(mesh, cv_impl="pallas", interpret=True)
+    rng = np.random.RandomState(2)
+    prv = jnp.asarray(rng.randn(1, 16, 12, 8).astype(np.float32))
+    nxt = jnp.asarray(rng.randn(1, 16, 12, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 16, 12, 81).astype(np.float32))
+
+    ref, ref_vjp = jax.vjp(lambda p, n: cost_volume_xla(p, n), prv, nxt)
+    out, out_vjp = jax.vjp(
+        jax.jit(lambda p, n: cost_volume_spatial(p, n, cfg)), prv, nxt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(out_vjp(g), ref_vjp(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_backward_warp_spatial_matches_global():
+    """Window warp == global warp for |flow_y| <= warp_halo, including
+    at the global borders (edge-replicated halo); gradients too."""
+    from qpwcnet_tpu.ops.warp import backward_warp
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    cfg = _spatial_cfg(mesh, warp_halo=4)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(2, 16, 12, 5).astype(np.float32))
+    flow = jnp.asarray(
+        rng.uniform(-3.5, 3.5, (2, 16, 12, 2)).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 16, 12, 5).astype(np.float32))
+
+    ref, ref_vjp = jax.vjp(backward_warp, img, flow)
+    out, out_vjp = jax.vjp(
+        jax.jit(lambda x, f: backward_warp_spatial(x, f, cfg)),
+        img, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(out_vjp(g), ref_vjp(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_backward_warp_spatial_large_flow_xborder():
+    """Flows pointing far OUTSIDE the image (beyond the halo at the
+    global border) still match: border clamp == window clamp onto the
+    replicated edge rows."""
+    from qpwcnet_tpu.ops.warp import backward_warp
+
+    mesh = make_mesh(n_data=1, n_model=4)
+    cfg = _spatial_cfg(mesh, warp_halo=4)
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.randn(1, 16, 8, 3).astype(np.float32))
+    flow = jnp.zeros((1, 16, 8, 2), jnp.float32)
+    # rows 0-3 (first shard) look up 20 rows: global clamp -> row 0.
+    flow = flow.at[:, :4, :, 1].set(-20.0)
+    # rows 12-15 (last shard) look down 20 rows: clamp -> last row.
+    flow = flow.at[:, 12:, :, 1].set(20.0)
+
+    ref = backward_warp(img, flow)
+    out = jax.jit(lambda x, f: backward_warp_spatial(x, f, cfg))(
+        img, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.slow
