@@ -42,22 +42,28 @@ from qpwcnet_tpu.ops.warp import backward_warp
 def random_texture(key, b: int, h: int, w: int) -> jax.Array:
     """Multi-octave value noise in [0, 1]: (B, H, W, 3).
 
-    Octave cell sizes 32/16/8/4 px plus per-pixel detail, amplitudes
-    halving — coarse blobs give the cost volume unambiguous long-range
-    matches, fine grain localizes sub-pixel.
+    Octave cell sizes 32/16/8/4 px plus per-pixel detail, EQUAL
+    amplitudes. The spectrum is the load-bearing design choice: the
+    cost volume's learning signal is the correlation CONTRAST between
+    the true-shift lag and its neighbors, and a low-frequency-dominant
+    texture has almost none. Measured on this generator (lag-0 vs
+    lag-1 autocorrelation at 64x128): amplitudes halving toward fine
+    octaves -> 0.8% contrast (the round-3 learning stall: a linear
+    readout of the full-res cost volume could not beat predict-zero on
+    24k fresh samples); EQUAL amplitudes -> 33% contrast. The coarse
+    octaves stay in so 1/16-1/32 pyramid levels keep long-range
+    matches after downsampling averages out the fine detail.
     """
     keys = jax.random.split(key, 5)
     out = jnp.zeros((b, h, w, 3), jnp.float32)
-    amp = 1.0
     total = 0.0
     for k, cell in zip(keys[:4], (32, 16, 8, 4)):
         gh, gw = max(h // cell, 1) + 1, max(w // cell, 1) + 1
         g = jax.random.uniform(k, (b, gh, gw, 3))
-        out = out + amp * resize_bilinear(g, (h, w))
-        total += amp
-        amp *= 0.5
-    out = out + amp * jax.random.uniform(keys[4], (b, h, w, 3))
-    total += amp
+        out = out + resize_bilinear(g, (h, w))
+        total += 1.0
+    out = out + jax.random.uniform(keys[4], (b, h, w, 3))
+    total += 1.0
     return out / total
 
 
@@ -114,11 +120,25 @@ def synthetic_flow_batch(key, b: int, h: int, w: int,
     Returns (ims_u8 (B,H,W,6) uint8, flo (B,H,W,2) f32): channels 0-2 =
     prv, 3-5 = nxt, with prv = backward_warp(nxt, flo) so flo is the
     exact forward flow prv->nxt under the model's convention.
+
+    The texture/flow are synthesized with a max_disp margin on every
+    side and center-cropped afterwards, so every retained prv pixel
+    samples REAL texture (never the border-clamp smear) and its flow
+    label is true motion. Without the crop a max_disp=24 field at
+    256x512 fills ~9% of prv with edge-replicated garbage whose labels
+    are wrong — pure label noise on exactly the large-displacement
+    examples the loss needs most. (Near-border pixels may still point
+    outside the cropped nxt — unmatchable but correctly labeled, as in
+    real data.)
     """
     k_tex, k_flo = jax.random.split(key)
-    nxt = random_texture(k_tex, b, h, w)
-    flo = random_flow_field(k_flo, b, h, w, max_disp=max_disp)
-    prv = backward_warp(nxt, flo)
+    pad = int(max_disp + 1)
+    hp, wp = h + 2 * pad, w + 2 * pad
+    nxt_p = random_texture(k_tex, b, hp, wp)
+    flo_p = random_flow_field(k_flo, b, hp, wp, max_disp=max_disp)
+    prv_p = backward_warp(nxt_p, flo_p)
+    sl = (slice(None), slice(pad, pad + h), slice(pad, pad + w))
+    prv, nxt, flo = prv_p[sl], nxt_p[sl], flo_p[sl]
     ims = jnp.concatenate([prv, nxt], axis=-1)
     ims_u8 = jnp.clip(jnp.round(ims * 255.0), 0, 255).astype(jnp.uint8)
     return ims_u8, flo

@@ -184,11 +184,26 @@ class OptFlow(nn.Module):
     # upstream are nonzero), and the converged behavior class is
     # unchanged. Param shapes/counts identical to the reference.
     zero_init_flow: bool = True
+    # Output parameterization of the flow head:
+    #   'diag' — reference parity (non_layers.py:268-271): raw conv
+    #     output multiplied by sqrt(h²+w²) of the level resolution.
+    #     MEASURED PATHOLOGY when training from scratch: under Adam a
+    #     per-step kernel move of ~lr translates to ~lr*573 px of
+    #     output change at 256x512, so the heads random-walk (fresh-
+    #     data EPE pinned at the predict-zero baseline for 7.6k steps,
+    #     then loss blow-ups; /tmp diag rounds E..M, RESULTS.md). The
+    #     reference only ever trains flow FROM an interp-pretrained
+    #     init (pre_train.py -> train.py load_weights), which is how it
+    #     sidesteps this.
+    #   'unit' — the head emits flow directly in level-local px
+    #     (values O(search_range)); the trainable-from-scratch mode.
+    head_scale: str = "diag"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1], x.shape[2]
-        scale = float(h * h + w * w) ** 0.5
+        scale = (float(h * h + w * w) ** 0.5
+                 if self.head_scale == "diag" else 1.0)
 
         # int8 mode: the SepConv chain passes QTensors (each pointwise
         # output quantized once with its calibrated range, the next
@@ -248,6 +263,7 @@ class FlowBlock(nn.Module):
     cv_impl: str = "auto"
     quant: Optional[QuantConfig] = None
     spatial: Any = None
+    head_scale: str = "diag"
 
     @nn.compact
     def __call__(self, prv, nxt, train: bool = False):
@@ -260,6 +276,7 @@ class FlowBlock(nn.Module):
             cost = cost_volume(prv, nxt, impl=self.cv_impl)
         feat = jnp.concatenate([cost, prv, nxt], axis=-1)
         return OptFlow(dtype=self.dtype, quant=self.quant,
+                       head_scale=self.head_scale,
                        name="flow")(feat, train=train)
 
 
@@ -276,6 +293,15 @@ class UpFlowBlock(nn.Module):
     cv_impl: str = "auto"
     quant: Optional[QuantConfig] = None
     spatial: Any = None
+    head_scale: str = "diag"
+    # residual=True: the head predicts a CORRECTION added to the
+    # upsampled coarse flow (out = flo + OptFlow(...)), so each level
+    # only regresses the residual its own ±r cost volume can actually
+    # see. The reference re-estimates the full flow per level
+    # (layers.py:443-495, no add) and relies on interp-pretraining to
+    # make that trainable; residual mode is the from-scratch-trainable
+    # deviation (param shapes unchanged).
+    residual: bool = False
 
     @nn.compact
     def __call__(self, prv, nxt, flo, train: bool = False):
@@ -292,8 +318,12 @@ class UpFlowBlock(nn.Module):
         feat = jnp.concatenate(
             [cost, prv, flo.astype(prv.dtype)], axis=-1
         )
-        return OptFlow(dtype=self.dtype, quant=self.quant,
-                       name="flow")(feat, train=train)
+        out = OptFlow(dtype=self.dtype, quant=self.quant,
+                      head_scale=self.head_scale,
+                      name="flow")(feat, train=train)
+        if self.residual:
+            out = out + flo.astype(out.dtype)
+        return out
 
 
 class FrameInterpolate(nn.Module):

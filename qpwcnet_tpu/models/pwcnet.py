@@ -121,14 +121,22 @@ class Flower(nn.Module):
     cv_impl: str = "auto"
     quant: QuantConfig | None = None
     spatial: Any = None
+    # Trainable-from-scratch head parameterization (see
+    # blocks.OptFlow.head_scale / UpFlowBlock.residual). Defaults are
+    # exact reference parity.
+    head_scale: str = "diag"
+    residual: bool = False
 
     def setup(self):
         self.flow = FlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
                               quant=self.quant, spatial=self.spatial,
+                              head_scale=self.head_scale,
                               name="flow_0")
         self.upflows = [
             UpFlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
                         quant=self.quant, spatial=self.spatial,
+                        head_scale=self.head_scale,
+                        residual=self.residual,
                         name=f"upflow_{i}")
             for i in range(self.num_levels)
         ]
@@ -157,12 +165,16 @@ class PWCFlowNet(nn.Module):
     cv_impl: str = "auto"
     quant: QuantConfig | None = None
     spatial: Any = None
+    head_scale: str = "diag"
+    residual: bool = False
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
-                             quant=self.quant, spatial=self.spatial)
+                             quant=self.quant, spatial=self.spatial,
+                             head_scale=self.head_scale,
+                             residual=self.residual)
 
     def __call__(self, inputs, train: bool = False):
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
@@ -191,12 +203,16 @@ class PWCInterpolator(nn.Module):
     dtype: Any = jnp.float32
     cv_impl: str = "auto"
     quant: QuantConfig | None = None
+    head_scale: str = "diag"
+    residual: bool = False
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
-                             quant=self.quant)
+                             quant=self.quant,
+                             head_scale=self.head_scale,
+                             residual=self.residual)
         n = len(DECODER_FILTERS)
         self.interp_0 = FrameInterpolate(up=False, dtype=self.dtype,
                                          quant=self.quant, name="img_0")
@@ -270,6 +286,8 @@ def build_flow_net(
     init_hw: tuple[int, int] = (64, 128),
     quant: QuantConfig | None = None,
     spatial: Any = None,
+    head_scale: str = "diag",
+    residual: bool = False,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
@@ -279,14 +297,19 @@ def build_flow_net(
     fast path (halo-exchanged Pallas cost volume + window warp). The
     variables are initialized WITHOUT it (single device init) — params
     are identical either way.
+    `head_scale`/`residual`: trainable-from-scratch head
+    parameterization (blocks.OptFlow/UpFlowBlock); defaults are exact
+    reference parity, and param shapes are IDENTICAL in every mode so
+    checkpoints transfer between modes.
     Returns (module, variables) where variables = {'params', 'batch_stats'}.
     """
     del input_hw
-    init_model = PWCFlowNet(dtype=dtype, cv_impl=cv_impl, quant=quant)
+    kw = dict(dtype=dtype, cv_impl=cv_impl, quant=quant,
+              head_scale=head_scale, residual=residual)
+    init_model = PWCFlowNet(**kw)
     variables = _init_variables(init_model, rng, init_hw)
     model = (init_model if spatial is None else
-             PWCFlowNet(dtype=dtype, cv_impl=cv_impl, quant=quant,
-                        spatial=spatial))
+             PWCFlowNet(spatial=spatial, **kw))
     return model, variables
 
 
@@ -297,8 +320,11 @@ def build_interpolator(
     cv_impl: str = "auto",
     init_hw: tuple[int, int] = (64, 128),
     quant: QuantConfig | None = None,
+    head_scale: str = "diag",
+    residual: bool = False,
 ):
     """Construct a PWCInterpolator and initialize its variables."""
     del input_hw
-    model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl, quant=quant)
+    model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl, quant=quant,
+                            head_scale=head_scale, residual=residual)
     return model, _init_variables(model, rng, init_hw)

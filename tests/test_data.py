@@ -307,13 +307,39 @@ def test_synthetic_nonuniform_flow_batch():
     assert float(zero_baseline_epe(flo)) > 3.0
 
     # warp consistency: prv ~= backward_warp(nxt, flo) up to the uint8
-    # quantization of the frames (<= 1/255 per channel + interp error)
+    # quantization of the frames (<= 1/255 per channel + interp error).
+    # Checked on the interior: the generator pad-and-crops, so border
+    # pixels may point outside the cropped nxt (correctly labeled but
+    # unmatchable — like real data).
     prv = ims_u8[..., :3].astype(jnp.float32) / 255.0
     nxt = ims_u8[..., 3:].astype(jnp.float32) / 255.0
     rewarp = backward_warp(nxt, flo)
-    err = float(jnp.mean(jnp.abs(rewarp - prv)))
+    m = 17  # max_disp + 1
+    err = float(jnp.mean(jnp.abs(rewarp - prv)[:, m:-m, m:-m]))
     assert err < 0.02, err
 
     # determinism / resumability: same key -> same batch
     ims2, flo2 = synthetic_flow_batch(key, 2, 64, 128, max_disp=16.0)
     assert jnp.array_equal(ims_u8, ims2) and jnp.array_equal(flo, flo2)
+
+
+def test_synthetic_texture_matching_contrast():
+    """Guards the texture SPECTRUM: the cost volume's learning signal is
+    the autocorrelation contrast between lag 0 and lag 1, and a
+    low-frequency-dominant texture has ~0.8% contrast — which made the
+    task unlearnable (a linear cost-volume readout could not beat
+    predict-zero over 24k fresh samples; every full-model run EPE-pinned
+    at the predict-zero baseline). Equal octave amplitudes measure ~33%;
+    this test fails if the generator regresses below 20%."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpwcnet_tpu.data.synthetic import random_texture
+
+    t = random_texture(jax.random.key(0), 4, 64, 128) - 0.5
+    w = t.shape[2]
+    a = t[:, :, : w - 1]
+    lag0 = float(jnp.mean(jnp.sum(a * a, -1)))
+    lag1 = float(jnp.mean(jnp.sum(a * t[:, :, 1:], -1)))
+    contrast = (lag0 - lag1) / lag0
+    assert contrast > 0.20, contrast

@@ -128,3 +128,38 @@ def test_transfer_subtrees_match(flow_setup, interp_setup):
         shapes_b = jax.tree_util.tree_map(
             lambda x: x.shape, v_interp["params"][sub])
         assert shapes_a == shapes_b, sub
+
+
+def test_trainable_head_modes_param_compatible(flow_setup):
+    """head_scale='unit' / residual=True (the trainable-from-scratch
+    parameterization, blocks.OptFlow/UpFlowBlock) must keep param
+    shapes IDENTICAL to reference parity so checkpoints transfer
+    between modes."""
+    from qpwcnet_tpu.models import build_flow_net
+
+    _, v_ref = flow_setup
+    _, v_unit = build_flow_net(jax.random.key(0), (64, 128),
+                               head_scale="unit", residual=True)
+    sa = jax.tree_util.tree_map(lambda x: x.shape, v_ref["params"])
+    sb = jax.tree_util.tree_map(lambda x: x.shape, v_unit["params"])
+    assert sa == sb
+
+
+def test_residual_mode_chains_upsampled_flow():
+    """residual=True: each UpFlow output = upsampled coarse flow + head
+    correction. With the default zero-init heads the correction is 0 at
+    init, so every level must equal the 2x-upsample of the previous —
+    a direct check that the residual add is wired per level."""
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.ops.resize import upsample2x_bilinear
+
+    model, variables = build_flow_net(jax.random.key(0), (64, 128),
+                                      head_scale="unit", residual=True)
+    x = jnp.asarray(
+        np.random.RandomState(0).uniform(-0.5, 0.5, (1, 64, 128, 6)),
+        jnp.float32)
+    outs, _ = model.apply(variables, x, train=True,
+                          mutable=["batch_stats"])
+    for i in range(len(outs) - 1):
+        up = upsample2x_bilinear(outs[i], scale=2.0)
+        assert float(jnp.max(jnp.abs(outs[i + 1] - up))) == 0.0, i
