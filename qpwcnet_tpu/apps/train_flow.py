@@ -50,6 +50,16 @@ class Settings:
     load_ckpt: str = ""       # run dir to resume / transfer from
     transfer_from_interp: bool = False
     compute_dtype: str = "float32"  # or 'bfloat16'
+    # Head parameterization (models.blocks.OptFlow/UpFlowBlock).
+    # Training from scratch REQUIRES the trainable mode: measured on
+    # fresh synthetic data, reference parity ('diag', residual off)
+    # diverges to NaN and unit-without-residual stalls at the
+    # predict-zero baseline, while unit+residual converges (RESULTS.md
+    # round-3 diagnosis). Set head_scale='diag', residual=False only
+    # when fine-tuning from an interp-pretrained reference-parity
+    # checkpoint (param shapes are identical across modes).
+    head_scale: str = "unit"
+    residual: bool = True
     seed: int = 0
     # Quantization-aware training as a first-class, resumable mode (the
     # reference trains its QAT model with the same fit loop,
@@ -254,7 +264,7 @@ def main(cfg: Settings):
         quant = QuantConfig()
     model, variables = build_flow_net(
         jax.random.key(cfg.seed), (cfg.height, cfg.width), dtype=dtype,
-        quant=quant,
+        quant=quant, head_scale=cfg.head_scale, residual=cfg.residual,
     )
     state = create_flow_train_state(
         model, variables, learning_rate=cfg.learning_rate)
