@@ -43,7 +43,14 @@ class Settings:
     height: int = 256
     width: int = 512
     base_scale: float = 1.0   # 0.56 for FlyingThings3D (train.py:147)
-    augment: bool = True
+    # 'auto' = augmentation ON for real datasets (parity with the
+    # reference's pipeline), OFF for synthetic data: the generator
+    # already randomizes geometry/photometry per sample, and the
+    # scale-and-crop's bilinear resampling low-passes the texture from
+    # 21% cost-volume matching contrast to ~6% — measurably pushing
+    # training back below the ignition threshold (RESULTS.md round-3
+    # diagnosis). 'on'/'off' force it.
+    augment: str = "auto"
     log_every: int = 100
     ckpt_every: int = 2000
     run_root: str = "/tmp/qpwcnet_tpu/run"
@@ -171,6 +178,7 @@ def _run_synthetic_fused(cfg: Settings, model, state, ckpt, writer,
     raw_step = make_flow_train_step()
     data_key = jax.random.key(cfg.seed + 2)
     aug_key = jax.random.key(cfg.seed + 1)
+    augment = cfg.augment == "on"  # 'auto' -> off for synthetic
 
     def gen_batch(i):
         ims_u8, flo = synthetic_flow_batch(
@@ -179,7 +187,7 @@ def _run_synthetic_fused(cfg: Settings, model, state, ckpt, writer,
         return preprocess_flow_batch(
             jax.random.fold_in(aug_key, i), ims_u8, flo,
             out_hw=(cfg.height, cfg.width),
-            base_scale=cfg.base_scale, augment=cfg.augment)
+            base_scale=cfg.base_scale, augment=augment)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_steps(st, i0, k: int):
@@ -334,7 +342,8 @@ def main(cfg: Settings):
             batch = preprocess_flow_batch(
                 sub, jnp.asarray(ims_u8), jnp.asarray(flo),
                 out_hw=(cfg.height, cfg.width),
-                base_scale=cfg.base_scale, augment=cfg.augment)
+                base_scale=cfg.base_scale,
+                augment=cfg.augment != "off")  # 'auto' -> on for datasets
             batch = put_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             if (i + 1) % cfg.log_every == 0:

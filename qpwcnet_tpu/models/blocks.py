@@ -238,14 +238,24 @@ class OptFlow(nn.Module):
             dtype=jnp.float32,
             name="norm",
         )(x.astype(jnp.float32))
+        if not self.zero_init_flow:
+            kinit = nn.initializers.lecun_normal()  # reference glorot-ish
+        elif self.head_scale == "unit":
+            # Symmetry-breaking SMALL init (~1e-2 px outputs): exact
+            # zeros put fresh-data training on an ignition knife-edge —
+            # whether the heads ever grow flips with 4e-6-scale loss
+            # perturbations (RESULTS.md round-3 probes A1-A4). Safe
+            # here because 'unit' has no sqrt(h²+w²) amplification.
+            kinit = nn.initializers.normal(stddev=1e-2)
+        else:
+            kinit = nn.initializers.zeros  # 'diag': 573x amplified
         x = QConv(
             features=2,
             kernel_size=(3, 3),
             use_bias=False,
             dtype=jnp.float32,
             quant=self.quant,
-            kernel_init=(nn.initializers.zeros if self.zero_init_flow
-                         else nn.initializers.lecun_normal()),
+            kernel_init=kinit,
             name="of_flow",
         )(x, update_stats=train)
         return scale * x

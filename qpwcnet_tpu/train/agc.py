@@ -43,21 +43,33 @@ def _unitwise_norm(x: jax.Array) -> jax.Array:
 
 
 def adaptive_clip_grads(params, grads, clip_factor: float = 0.01,
-                        eps: float = 1e-3):
-    """Functional AGC over matching pytrees of params and grads."""
+                        eps: float = 1e-3, exclude: tuple = ()):
+    """Functional AGC over matching pytrees of params and grads.
 
-    def clip_one(p, g):
+    exclude: path-substring names whose params are NOT clipped. The
+    NF-Nets recipe itself exempts the final linear layer (its norm is
+    small and its gradient is the primary learning signal); here the
+    analogous modules are the flow heads ('of_flow'). Measured: with
+    the heads near zero-init, AGC's 0.01*max(||p||, 1e-3) cap starves
+    them — fresh-data training that ignites by step 1000 without AGC
+    stays EPE-pinned at the predict-zero baseline for 3k+ steps with
+    blanket AGC (RESULTS.md round-3 diagnosis)."""
+
+    def clip_one(path, p, g):
+        keys = [getattr(q, "key", str(q)) for q in path]
+        if any(e in k for e in exclude for k in keys):
+            return g
         p_norm = _unitwise_norm(p)
         g_norm = _unitwise_norm(g)
         max_norm = jnp.maximum(p_norm, eps) * clip_factor
         clipped = g * (max_norm / jnp.maximum(g_norm, 1e-6)).astype(g.dtype)
         return jnp.where(g_norm < max_norm, g, clipped)
 
-    return jax.tree_util.tree_map(clip_one, params, grads)
+    return jax.tree_util.tree_map_with_path(clip_one, params, grads)
 
 
-def agc(clip_factor: float = 0.01,
-        eps: float = 1e-3) -> optax.GradientTransformation:
+def agc(clip_factor: float = 0.01, eps: float = 1e-3,
+        exclude: tuple = ()) -> optax.GradientTransformation:
     """AGC as an optax GradientTransformation (requires params)."""
 
     def init_fn(params):
@@ -67,7 +79,8 @@ def agc(clip_factor: float = 0.01,
     def update_fn(updates, state, params=None):
         if params is None:
             raise ValueError("agc requires params")
-        return adaptive_clip_grads(params, updates, clip_factor, eps), state
+        return adaptive_clip_grads(params, updates, clip_factor, eps,
+                                   exclude), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -57,10 +57,16 @@ def default_optimizer(
     learning_rate=1e-4, clip_factor: float = 0.01, eps: float = 1e-3
 ) -> optax.GradientTransformation:
     """NaN-grad scrub -> AGC -> Adam, matching the reference training apps
-    (train.py:120,294-296; Adam 1e-4 train.py:370-375)."""
+    (train.py:120,294-296; Adam 1e-4 train.py:370-375).
+
+    The flow heads ('of_flow') are exempt from AGC — the NF-Nets-style
+    final-layer exemption. Blanket AGC on the (near-)zero-init heads
+    caps their gradients at clip*eps and measurably prevents fresh-data
+    training from ever leaving the predict-zero baseline (RESULTS.md
+    round-3 diagnosis, probe A1)."""
     return optax.chain(
         zero_nan_grads(),
-        agc(clip_factor=clip_factor, eps=eps),
+        agc(clip_factor=clip_factor, eps=eps, exclude=("of_flow",)),
         optax.adam(learning_rate),
     )
 

@@ -114,7 +114,7 @@ def test_train_flow_qat_interrupt_resume(tmp_path):
     common = [
         "--data", "synthetic", "--batch-size", "2",
         "--height", "32", "--width", "64", "--log-every", "10",
-        "--qat", "true", "--augment", "false",
+        "--qat", "true", "--augment", "off",
     ]
     # uninterrupted: 4 steps
     main([*common, "--steps", "4", "--ckpt-every", "100",

@@ -147,8 +147,9 @@ def test_trainable_head_modes_param_compatible(flow_setup):
 
 def test_residual_mode_chains_upsampled_flow():
     """residual=True: each UpFlow output = upsampled coarse flow + head
-    correction. With the default zero-init heads the correction is 0 at
-    init, so every level must equal the 2x-upsample of the previous —
+    correction. At init the heads carry the symmetry-breaking SMALL
+    init (stddev 1e-2), so each level must be CLOSE to the 2x-upsample
+    of the previous (correction << 1 px) but not necessarily equal —
     a direct check that the residual add is wired per level."""
     from qpwcnet_tpu.models import build_flow_net
     from qpwcnet_tpu.ops.resize import upsample2x_bilinear
@@ -160,6 +161,10 @@ def test_residual_mode_chains_upsampled_flow():
         jnp.float32)
     outs, _ = model.apply(variables, x, train=True,
                           mutable=["batch_stats"])
-    for i in range(len(outs) - 1):
+    for i in range(len(outs) - 2):
         up = upsample2x_bilinear(outs[i], scale=2.0)
-        assert float(jnp.max(jnp.abs(outs[i + 1] - up))) == 0.0, i
+        d = float(jnp.max(jnp.abs(outs[i + 1] - up)))
+        assert d < 1.0, (i, d)
+    # the final output is bilinear-only: exactly the upsample
+    up = upsample2x_bilinear(outs[-2], scale=2.0)
+    assert float(jnp.max(jnp.abs(outs[-1] - up))) == 0.0

@@ -255,3 +255,25 @@ def test_recalibrate_batch_stats_quant_model():
     b1 = jnp.concatenate([x.ravel() for x in
                           jax.tree_util.tree_leaves(new.batch_stats)])
     assert float(jnp.max(jnp.abs(b0 - b1))) > 0
+
+
+def test_agc_excludes_flow_heads():
+    """default_optimizer exempts 'of_flow' params from AGC (the NF-Nets
+    final-layer exemption): a huge gradient on a near-zero head must
+    pass through unclipped, while a regular conv kernel's is clipped."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpwcnet_tpu.train.agc import adaptive_clip_grads
+
+    params = {"upflow_0": {"flow": {"of_flow": {"kernel":
+                                                jnp.zeros((3, 3, 16, 2))},
+                                    "of_feat_0": {"pointwise": {
+                                        "kernel": jnp.zeros((1, 1, 8, 8))
+                                    }}}}}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    out = adaptive_clip_grads(params, grads, exclude=("of_flow",))
+    head_g = out["upflow_0"]["flow"]["of_flow"]["kernel"]
+    feat_g = out["upflow_0"]["flow"]["of_feat_0"]["pointwise"]["kernel"]
+    assert float(jnp.max(jnp.abs(head_g - 1.0))) == 0.0  # untouched
+    assert float(jnp.max(feat_g)) < 1e-3  # clipped to clip*eps scale
