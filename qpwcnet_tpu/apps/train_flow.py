@@ -67,6 +67,22 @@ class Settings:
     # checkpoint (param shapes are identical across modes).
     head_scale: str = "unit"
     residual: bool = True
+    # 'auto': plain Adam (NaN-scrub + adam, no AGC, no l2) for
+    # synthetic from-scratch training — the measured ignition recipe —
+    # and the reference chain (NaN-scrub + AGC + Adam + l2 4e-6,
+    # train.py:120,294-296) for datasets/fine-tuning. 'plain'/
+    # 'reference' force it.
+    optimizer: str = "auto"
+    # Synthetic-mode resolution curriculum: comma-separated step counts
+    # for the 1/4-res and 1/2-res warmup stages (e.g. '5000,4000'; ''
+    # disables). Ignition at full 256x512/disp-24 is unreliable from
+    # scratch, but parameters are resolution-independent: ignite at
+    # (h/4, w/4, disp/3, lr*10/3), consolidate at (h/2, w/2, disp/2,
+    # lr*5/3), then train at full config. Measured: heldout EPE 1.85 vs
+    # a 12.15 predict-zero baseline within 500 full-res steps, where
+    # 2500 from-scratch full-res steps sat at the baseline (RESULTS.md).
+    # Skipped automatically when resuming from a checkpoint.
+    curriculum: str = "5000,4000"
     seed: int = 0
     # Quantization-aware training as a first-class, resumable mode (the
     # reference trains its QAT model with the same fit loop,
@@ -154,8 +170,99 @@ def _dataset_batches(cfg: Settings):
     return iter(loader)
 
 
+def _resolve_optimizer(cfg: Settings):
+    """('plain'|'reference', l2_gamma) per cfg.optimizer/'auto'."""
+    plain = cfg.optimizer == "plain" or (
+        cfg.optimizer == "auto" and cfg.data == "synthetic")
+    return ("plain" if plain else "reference"), (0.0 if plain else 4e-6)
+
+
+def _make_tx(kind: str, lr: float):
+    import optax
+
+    from qpwcnet_tpu.train.agc import zero_nan_grads
+    from qpwcnet_tpu.train.train_state import default_optimizer
+
+    if kind == "plain":
+        return optax.chain(zero_nan_grads(), optax.adam(lr))
+    return default_optimizer(lr)
+
+
+def _run_synthetic_curriculum(cfg: Settings, model, state, l2_gamma):
+    """Resolution-curriculum warmup (synthetic mode, fresh runs only):
+    eager per-step stages at 1/4 and 1/2 resolution with scaled
+    max_disp and learning rate, fresh Adam state per stage. Parameters
+    are resolution-independent, so the ignited weights transfer
+    directly to the full-resolution fused loop.
+
+    Eager (one jitted step per dispatch, batch generated by its own
+    jit) rather than the fused scan: generating batches inside a
+    lax.scan train loop at small resolutions reliably crashes the TPU
+    worker (XLA:TPU scan-context kernel fault — reproduced at
+    64x128/b16, absent without the scan and at 256x512)."""
+    from qpwcnet_tpu.data.synthetic import (
+        synthetic_flow_batch, zero_baseline_epe)
+    from qpwcnet_tpu.train import make_flow_train_step
+    from qpwcnet_tpu.train.losses import epe_error as _epe
+
+    stage_steps = [int(s) for s in cfg.curriculum.split(",") if s]
+    divisors = (4, 2)[:len(stage_steps)]
+    disp_div = {4: 3.0, 2: 2.0}
+    lr_mult = {4: 10.0 / 3.0, 2: 5.0 / 3.0}
+    kind, _ = _resolve_optimizer(cfg)
+
+    for n_steps, div in zip(stage_steps, divisors):
+        if cfg.height % (32 * div) or cfg.width % (32 * div):
+            print(f"[curriculum] skip 1/{div} stage: "
+                  f"{cfg.height}x{cfg.width} not divisible by "
+                  f"{32*div} (the 5-level pyramid needs /32 dims)",
+                  file=sys.stderr)
+            continue
+        h, w = cfg.height // div, cfg.width // div
+        disp = cfg.max_disp / disp_div[div]
+        lr = cfg.learning_rate * lr_mult[div]
+        tx = _make_tx(kind, lr)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        step = jax.jit(make_flow_train_step(l2_gamma))
+
+        held_u8, held_flo = synthetic_flow_batch(
+            jax.random.key(cfg.seed + 999), cfg.batch_size, h, w,
+            max_disp=disp)
+        held = {"ims": held_u8.astype(jnp.float32) / 255.0 - 0.5,
+                "flo": held_flo}
+        zb = float(zero_baseline_epe(held_flo))
+
+        @jax.jit
+        def eval_epe(st, held=held):
+            v = {"params": st.params, "batch_stats": st.batch_stats}
+            pred = model.apply(v, held["ims"], train=False)
+            return _epe(held["flo"], pred)
+
+        t0 = time.time()
+        key = jax.random.key(cfg.seed + 2)
+        for i in range(n_steps):
+            ims_u8, flo = synthetic_flow_batch(
+                jax.random.fold_in(key, i), cfg.batch_size, h, w,
+                max_disp=disp)
+            batch = {"ims": ims_u8.astype(jnp.float32) / 255.0 - 0.5,
+                     "flo": flo}
+            state, m = step(state, batch)
+            if (i + 1) % cfg.log_every == 0:
+                print(f"[curriculum 1/{div}] step {i+1}: "
+                      f"loss={float(m['loss']):.5f} "
+                      f"epe={float(m['epe']):.3f} "
+                      f"epe_eval={float(eval_epe(state)):.3f} "
+                      f"epe_zero={zb:.3f} "
+                      f"({cfg.batch_size*(i+1)/(time.time()-t0):.1f} "
+                      f"img/s)", file=sys.stderr, flush=True)
+
+    # hand back with a fresh optimizer at the configured lr
+    tx = _make_tx(kind, cfg.learning_rate)
+    return state.replace(tx=tx, opt_state=tx.init(state.params))
+
+
 def _run_synthetic_fused(cfg: Settings, model, state, ckpt, writer,
-                         step0: int):
+                         step0: int, l2_gamma: float = 4e-6):
     """Synthetic-mode training with everything on-device: batch
     generation, augmentation/preprocess, and `steps_per_call`
     consecutive train steps run inside ONE jitted lax.scan. The host
@@ -175,7 +282,7 @@ def _run_synthetic_fused(cfg: Settings, model, state, ckpt, writer,
     from qpwcnet_tpu.train import make_flow_train_step
     from qpwcnet_tpu.train.losses import epe_error as _epe
 
-    raw_step = make_flow_train_step()
+    raw_step = make_flow_train_step(l2_gamma)
     data_key = jax.random.key(cfg.seed + 2)
     aug_key = jax.random.key(cfg.seed + 1)
     augment = cfg.augment == "on"  # 'auto' -> off for synthetic
@@ -274,8 +381,9 @@ def main(cfg: Settings):
         jax.random.key(cfg.seed), (cfg.height, cfg.width), dtype=dtype,
         quant=quant, head_scale=cfg.head_scale, residual=cfg.residual,
     )
+    opt_kind, l2_gamma = _resolve_optimizer(cfg)
     state = create_flow_train_state(
-        model, variables, learning_rate=cfg.learning_rate)
+        model, variables, tx=_make_tx(opt_kind, cfg.learning_rate))
 
     ckpt = CheckpointManager(paths["ckpt"])
     if cfg.load_ckpt:
@@ -303,7 +411,11 @@ def main(cfg: Settings):
         # Fully-fused single-device loop: generation + preprocessing +
         # steps_per_call train steps inside one jitted lax.scan — one
         # tunnel dispatch per segment instead of 3+ per step.
-        _run_synthetic_fused(cfg, model, state, ckpt, writer, step0)
+        if cfg.curriculum and step0 == 0 and not cfg.load_ckpt:
+            state = _run_synthetic_curriculum(cfg, model, state,
+                                              l2_gamma)
+        _run_synthetic_fused(cfg, model, state, ckpt, writer, step0,
+                             l2_gamma)
         return
 
     mesh = make_mesh_for_batch(cfg.batch_size)
