@@ -167,6 +167,12 @@ class PWCFlowNet(nn.Module):
     spatial: Any = None
     head_scale: str = "diag"
     residual: bool = False
+    # Run the siamese encoder/decoder ONCE on the 2B-stacked [prv; nxt]
+    # batch instead of twice on B (numerically exact: the encoder and
+    # decoder are normalizer-free, pwcnet.py:142-146, so no batch
+    # statistics couple the two halves). Halves the op count of the
+    # pyramid stages — fewer XLA launches, larger per-op batches.
+    fuse_batch: bool = True
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
@@ -178,10 +184,20 @@ class PWCFlowNet(nn.Module):
 
     def __call__(self, inputs, train: bool = False):
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
-        encs_prv = self.encoder(img_prv, train=train)
-        encs_nxt = self.encoder(img_nxt, train=train)
-        decs_prv = self.decoder(encs_prv, train=train)
-        decs_nxt = self.decoder(encs_nxt, train=train)
+        if self.fuse_batch:
+            b = img_prv.shape[0]
+            both = jnp.concatenate([img_prv, img_nxt], axis=0)
+            encs = self.encoder(both, train=train)
+            decs = self.decoder(encs, train=train)
+            encs_prv = [e[:b] for e in encs]
+            encs_nxt = [e[b:] for e in encs]
+            decs_prv = [d[:b] for d in decs]
+            decs_nxt = [d[b:] for d in decs]
+        else:
+            encs_prv = self.encoder(img_prv, train=train)
+            encs_nxt = self.encoder(img_nxt, train=train)
+            decs_prv = self.decoder(encs_prv, train=train)
+            decs_nxt = self.decoder(encs_nxt, train=train)
         flos = self.flower(
             encs_prv[-1], encs_nxt[-1], decs_prv, decs_nxt, train=train
         )
@@ -205,6 +221,15 @@ class PWCInterpolator(nn.Module):
     quant: QuantConfig | None = None
     head_scale: str = "diag"
     residual: bool = False
+    # Batch-fuse the siamese pyramid (exact — no normalizers) AND the
+    # two Flower directions into single 2B calls. The shared Flower is
+    # the interp step's dominant cost; one 2B pass halves its op/launch
+    # count. Direction fusion is exact in eval mode (BatchNorm running
+    # stats); in train mode the OptFlow BatchNorms normalize over the
+    # joint 2B direction batch instead of per-direction — the same
+    # statistics in expectation, since the direction batches are the
+    # same image pairs reversed.
+    fuse_batch: bool = True
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
@@ -229,16 +254,36 @@ class PWCInterpolator(nn.Module):
         flow-submodel extraction by layer name 'lambda_11'
         (pre_train_test.py:102-106), without the name fishing."""
         img_prv, img_nxt = jnp.split(inputs, 2, axis=-1)
-        encs_prv = self.encoder(img_prv, train=train)
-        encs_nxt = self.encoder(img_nxt, train=train)
-        decs_prv = self.decoder(encs_prv, train=train)
-        decs_nxt = self.decoder(encs_nxt, train=train)
+        if self.fuse_batch:
+            b = img_prv.shape[0]
+            both = jnp.concatenate([img_prv, img_nxt], axis=0)
+            encs = self.encoder(both, train=train)
+            decs = self.decoder(encs, train=train)
+            decs_prv = [d[:b] for d in decs]
+            decs_nxt = [d[b:] for d in decs]
 
-        # Reference argument order preserved exactly (pwcnet.py:274-280).
-        flos_01 = self.flower(encs_nxt[-1], encs_prv[-1], decs_nxt,
-                              decs_prv, train=train)
-        flos_10 = self.flower(encs_prv[-1], encs_nxt[-1], decs_prv,
-                              decs_nxt, train=train)
+            # One 2B Flower pass over both directions: rows [:B] compute
+            # flos_01 (reference arg order (nxt, prv), pwcnet.py:274-280),
+            # rows [B:] compute flos_10 ((prv, nxt)). swap(x) = [nxt; prv]
+            # is a batch roll of the [prv; nxt] stack.
+            def swap(x):
+                return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+            flos = self.flower(swap(encs[-1]), encs[-1],
+                               [swap(d) for d in decs], decs, train=train)
+            flos_01 = [f[:b] for f in flos]
+            flos_10 = [f[b:] for f in flos]
+        else:
+            encs_prv = self.encoder(img_prv, train=train)
+            encs_nxt = self.encoder(img_nxt, train=train)
+            decs_prv = self.decoder(encs_prv, train=train)
+            decs_nxt = self.decoder(encs_nxt, train=train)
+
+            # Reference argument order preserved (pwcnet.py:274-280).
+            flos_01 = self.flower(encs_nxt[-1], encs_prv[-1], decs_nxt,
+                                  decs_prv, train=train)
+            flos_10 = self.flower(encs_prv[-1], encs_nxt[-1], decs_prv,
+                                  decs_nxt, train=train)
 
         n = len(DECODER_FILTERS)
         # AvgPool image pyramid, n+1 levels deep (pwcnet.py:85-90).
@@ -288,6 +333,7 @@ def build_flow_net(
     spatial: Any = None,
     head_scale: str = "diag",
     residual: bool = False,
+    fuse_batch: bool = True,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
@@ -305,7 +351,8 @@ def build_flow_net(
     """
     del input_hw
     kw = dict(dtype=dtype, cv_impl=cv_impl, quant=quant,
-              head_scale=head_scale, residual=residual)
+              head_scale=head_scale, residual=residual,
+              fuse_batch=fuse_batch)
     init_model = PWCFlowNet(**kw)
     variables = _init_variables(init_model, rng, init_hw)
     model = (init_model if spatial is None else
@@ -322,9 +369,11 @@ def build_interpolator(
     quant: QuantConfig | None = None,
     head_scale: str = "diag",
     residual: bool = False,
+    fuse_batch: bool = True,
 ):
     """Construct a PWCInterpolator and initialize its variables."""
     del input_hw
     model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl, quant=quant,
-                            head_scale=head_scale, residual=residual)
+                            head_scale=head_scale, residual=residual,
+                            fuse_batch=fuse_batch)
     return model, _init_variables(model, rng, init_hw)

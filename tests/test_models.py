@@ -168,3 +168,47 @@ def test_residual_mode_chains_upsampled_flow():
     # the final output is bilinear-only: exactly the upsample
     up = upsample2x_bilinear(outs[-2], scale=2.0)
     assert float(jnp.max(jnp.abs(outs[-1] - up))) == 0.0
+
+
+def test_fuse_batch_flow_net_exact(flow_setup):
+    """fuse_batch=True (2B siamese encoder/decoder) is numerically
+    EXACT vs the unfused twin pass in BOTH modes — the pyramid stages
+    carry no normalizer, so batch stacking cannot couple the halves."""
+    model, variables = flow_setup  # fixture builds fuse_batch=True
+    from qpwcnet_tpu.models.pwcnet import PWCFlowNet
+
+    unfused = PWCFlowNet(cv_impl="xla", fuse_batch=False)
+    x = jnp.asarray(
+        np.random.RandomState(3).uniform(-0.5, 0.5, (2, H, W, 6)),
+        jnp.float32)
+    for train in (False, True):
+        kw = dict(train=train, mutable=["batch_stats"] if train else False)
+        a = model.apply(variables, x, **kw)
+        b = unfused.apply(variables, x, **kw)
+        if train:
+            (a, _), (b, _) = a, b
+            a, b = a[-1], b[-1]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
+def test_fuse_batch_interp_eval_exact(interp_setup):
+    """Interpolator direction fusion: one 2B Flower pass == two B
+    passes in eval mode (BatchNorm running stats; train-mode batch
+    statistics legitimately differ — documented in PWCInterpolator)."""
+    model, variables = interp_setup
+    from qpwcnet_tpu.models.pwcnet import PWCInterpolator
+
+    unfused = PWCInterpolator(cv_impl="xla", fuse_batch=False)
+    x = jnp.asarray(
+        np.random.RandomState(4).uniform(-0.5, 0.5, (2, H, W, 6)),
+        jnp.float32)
+    a, (a01, a10) = model.apply(variables, x, train=False,
+                                return_flows=True)
+    b, (b01, b10) = unfused.apply(variables, x, train=False,
+                                  return_flows=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-5)
+    for fa, fb in zip(a01 + a10, b01 + b10):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   rtol=0, atol=1e-4)
