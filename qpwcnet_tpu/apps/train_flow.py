@@ -195,11 +195,17 @@ def _run_synthetic_curriculum(cfg: Settings, model, state, l2_gamma):
     are resolution-independent, so the ignited weights transfer
     directly to the full-resolution fused loop.
 
-    Eager (one jitted step per dispatch, batch generated by its own
-    jit) rather than the fused scan: generating batches inside a
-    lax.scan train loop at small resolutions reliably crashes the TPU
-    worker (XLA:TPU scan-context kernel fault — reproduced at
-    64x128/b16, absent without the scan and at 256x512)."""
+    Segment-fused like the full-res loop: `steps_per_call` batches are
+    pre-generated in one jitted call and the train step is lax.scan'd
+    over the STACKED batches — the generator never runs inside the
+    scan body, which avoids the small-resolution scan-context kernel
+    fault (XLA:TPU worker crash when `synthetic_flow_batch` is traced
+    inside a scan at 64x128/b16; scanning over pre-stacked arrays is
+    fine). Fusing matters doubly here: each device dispatch pays the
+    remote-tunnel round-trip (measured 0.1-1.7 s depending on tunnel
+    load), and the eager per-step spelling costs 2+ dispatches/step."""
+    import functools
+
     from qpwcnet_tpu.data.synthetic import (
         synthetic_flow_batch, zero_baseline_epe)
     from qpwcnet_tpu.train import make_flow_train_step
@@ -223,7 +229,6 @@ def _run_synthetic_curriculum(cfg: Settings, model, state, l2_gamma):
         lr = cfg.learning_rate * lr_mult[div]
         tx = _make_tx(kind, lr)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
-        step = jax.jit(make_flow_train_step(l2_gamma))
 
         held_u8, held_flo = synthetic_flow_batch(
             jax.random.key(cfg.seed + 999), cfg.batch_size, h, w,
@@ -238,22 +243,43 @@ def _run_synthetic_curriculum(cfg: Settings, model, state, l2_gamma):
             pred = model.apply(v, held["ims"], train=False)
             return _epe(held["flo"], pred)
 
-        t0 = time.time()
         key = jax.random.key(cfg.seed + 2)
-        for i in range(n_steps):
-            ims_u8, flo = synthetic_flow_batch(
-                jax.random.fold_in(key, i), cfg.batch_size, h, w,
-                max_disp=disp)
-            batch = {"ims": ims_u8.astype(jnp.float32) / 255.0 - 0.5,
-                     "flo": flo}
-            state, m = step(state, batch)
-            if (i + 1) % cfg.log_every == 0:
-                print(f"[curriculum 1/{div}] step {i+1}: "
+        raw_step = make_flow_train_step(l2_gamma)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_k(st, i0, k: int, _div=div, _h=h, _w=w, _disp=disp):
+            # Stacked generation OUTSIDE the scan (see docstring); the
+            # per-stage seed stream folds (stage, step) so stages never
+            # replay each other's fields.
+            def gen(j):
+                ims_u8, flo = synthetic_flow_batch(
+                    jax.random.fold_in(
+                        jax.random.fold_in(key, _div), i0 + j),
+                    cfg.batch_size, _h, _w, max_disp=_disp)
+                return {"ims": ims_u8.astype(jnp.float32) / 255.0 - 0.5,
+                        "flo": flo}
+            batches = jax.vmap(gen)(jnp.arange(k))
+
+            def body(s, b):
+                s, metrics = raw_step(s, b)
+                return s, metrics
+            st, ms = jax.lax.scan(body, st, batches)
+            return st, jax.tree_util.tree_map(jnp.mean, ms)
+
+        t0 = time.time()
+        spc = max(1, min(cfg.steps_per_call, cfg.log_every))
+        i = 0
+        while i < n_steps:
+            k = min(spc, n_steps - i)
+            state, m = run_k(state, jnp.asarray(i), k)
+            i += k
+            if i % cfg.log_every < k:
+                print(f"[curriculum 1/{div}] step {i}: "
                       f"loss={float(m['loss']):.5f} "
                       f"epe={float(m['epe']):.3f} "
                       f"epe_eval={float(eval_epe(state)):.3f} "
                       f"epe_zero={zb:.3f} "
-                      f"({cfg.batch_size*(i+1)/(time.time()-t0):.1f} "
+                      f"({cfg.batch_size*i/(time.time()-t0):.1f} "
                       f"img/s)", file=sys.stderr, flush=True)
 
     # hand back with a fresh optimizer at the configured lr
