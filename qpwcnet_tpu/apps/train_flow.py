@@ -94,6 +94,14 @@ class Settings:
     # device dispatch pays the remote-tunnel round-trip (~100 ms); the
     # unfused loop measured 35 img/s against the 101 img/s step.
     steps_per_call: int = 50
+    # BN-recalibration forward passes run immediately before the FINAL
+    # checkpoint save, so the stored artifact carries deployment-ready
+    # running statistics (momentum-.99 EMAs lag the converged model by
+    # ~100 steps; measured 328 vs 5.5 EPE on stale stats, RESULTS.md).
+    # Periodic (resume) checkpoints are NOT recalibrated — resume
+    # semantics stay bit-exact. 0 disables. Recalibration uses
+    # UNAUGMENTED batches (the deployment distribution).
+    recalibrate_final: int = 16
 
 
 def _synthetic_batches(cfg: Settings, start_step: int = 0):
@@ -190,7 +198,7 @@ def _make_tx(kind: str, lr: float):
 
 def _run_synthetic_curriculum(cfg: Settings, model, state, l2_gamma):
     """Resolution-curriculum warmup (synthetic mode, fresh runs only):
-    eager per-step stages at 1/4 and 1/2 resolution with scaled
+    segment-fused scan stages at 1/4 and 1/2 resolution with scaled
     max_disp and learning rate, fresh Adam state per stage. Parameters
     are resolution-independent, so the ignited weights transfer
     directly to the full-resolution fused loop.
@@ -250,18 +258,23 @@ def _run_synthetic_curriculum(cfg: Settings, model, state, l2_gamma):
         def run_k(st, i0, k: int, _div=div, _h=h, _w=w, _disp=disp):
             # Stacked generation OUTSIDE the scan (see docstring); the
             # per-stage seed stream folds (stage, step) so stages never
-            # replay each other's fields.
+            # replay each other's fields. Images stay uint8 in the
+            # stacked segment (4x less HBM than pre-converted float32);
+            # the /255-0.5 conversion happens per step in the scan body.
             def gen(j):
                 ims_u8, flo = synthetic_flow_batch(
                     jax.random.fold_in(
                         jax.random.fold_in(key, _div), i0 + j),
                     cfg.batch_size, _h, _w, max_disp=_disp)
-                return {"ims": ims_u8.astype(jnp.float32) / 255.0 - 0.5,
-                        "flo": flo}
+                return {"ims_u8": ims_u8, "flo": flo}
             batches = jax.vmap(gen)(jnp.arange(k))
 
             def body(s, b):
-                s, metrics = raw_step(s, b)
+                batch = {
+                    "ims": b["ims_u8"].astype(jnp.float32) / 255.0 - 0.5,
+                    "flo": b["flo"],
+                }
+                s, metrics = raw_step(s, batch)
                 return s, metrics
             st, ms = jax.lax.scan(body, st, batches)
             return st, jax.tree_util.tree_map(jnp.mean, ms)
@@ -375,6 +388,20 @@ def _run_synthetic_fused(cfg: Settings, model, state, ckpt, writer,
                 ckpt.save(i, jax.device_get(state))
     except KeyboardInterrupt:
         print("interrupted; saving", file=sys.stderr)
+    if cfg.recalibrate_final:
+        from qpwcnet_tpu.train.train_state import recalibrate_batch_stats
+
+        def calib_ims():
+            for j in range(cfg.recalibrate_final):
+                ims_u8, _ = synthetic_flow_batch(
+                    jax.random.fold_in(data_key, 1_000_000_000 + j),
+                    cfg.batch_size, cfg.height, cfg.width,
+                    max_disp=cfg.max_disp)
+                yield ims_u8.astype(jnp.float32) / 255.0 - 0.5
+        state = recalibrate_batch_stats(
+            state, calib_ims(), cfg.recalibrate_final)
+        print(f"recalibrated BN stats over {cfg.recalibrate_final} "
+              f"batches before final save", file=sys.stderr)
     ckpt.save(int(jax.device_get(state.step)), jax.device_get(state))
     ckpt.wait()
     writer.close()
@@ -504,6 +531,24 @@ def main(cfg: Settings):
     except KeyboardInterrupt:
         # save-on-interrupt (train.py:377-389)
         print("interrupted; saving", file=sys.stderr)
+    if cfg.recalibrate_final:
+        from qpwcnet_tpu.train.train_state import recalibrate_batch_stats
+
+        state = jax.device_get(state)  # off the mesh for the plain jit
+
+        def calib_ims():
+            for j in range(cfg.recalibrate_final):
+                ims_u8, flo = next(batches)
+                b = preprocess_flow_batch(
+                    jax.random.fold_in(key, 1_000_000_000 + j),
+                    jnp.asarray(ims_u8), jnp.asarray(flo),
+                    out_hw=(cfg.height, cfg.width),
+                    base_scale=cfg.base_scale, augment=False)
+                yield b["ims"]
+        state = recalibrate_batch_stats(
+            state, calib_ims(), cfg.recalibrate_final)
+        print(f"recalibrated BN stats over {cfg.recalibrate_final} "
+              f"batches before final save", file=sys.stderr)
     ckpt.save(int(state.step), jax.device_get(state))
     ckpt.wait()
     writer.close()

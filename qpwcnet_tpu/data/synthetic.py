@@ -144,6 +144,40 @@ def synthetic_flow_batch(key, b: int, h: int, w: int,
     return ims_u8, flo
 
 
+@functools.partial(jax.jit, static_argnames=("b", "h", "w", "max_disp"))
+def synthetic_triplet_batch(key, b: int, h: int, w: int,
+                            max_disp: float = 24.0):
+    """One frame-interpolation pretraining triplet batch, on device.
+
+    Returns (prv, mid, nxt) uint8 (B,H,W,3) each, under constant-velocity
+    motion: with flo the forward flow prv->nxt (same generator as
+    :func:`synthetic_flow_batch`), frames are synthesized as
+
+        prv = backward_warp(nxt, flo)        # prv[p] == nxt[p + flo(p)]
+        mid = backward_warp(nxt, flo / 2)    # the temporal midpoint
+
+    The half-flow midpoint is exact for uniform flow and the standard
+    linear-motion approximation for the smooth fields here — the same
+    assumption the FrameInterpolate head itself makes (it warps both
+    frames by 0.5x the predicted flows, qpwcnet/core/layers.py:365-374),
+    so the pretraining task is self-consistent with the model family.
+    Same pad-and-crop border hygiene as synthetic_flow_batch.
+    """
+    k_tex, k_flo = jax.random.split(key)
+    pad = int(max_disp + 1)
+    hp, wp = h + 2 * pad, w + 2 * pad
+    nxt_p = random_texture(k_tex, b, hp, wp)
+    flo_p = random_flow_field(k_flo, b, hp, wp, max_disp=max_disp)
+    prv_p = backward_warp(nxt_p, flo_p)
+    mid_p = backward_warp(nxt_p, flo_p * 0.5)
+    sl = (slice(None), slice(pad, pad + h), slice(pad, pad + w))
+
+    def u8(x):
+        return jnp.clip(jnp.round(x[sl] * 255.0), 0, 255).astype(jnp.uint8)
+
+    return u8(prv_p), u8(mid_p), u8(nxt_p)
+
+
 def zero_baseline_epe(flo: jax.Array) -> jax.Array:
     """EPE of the predict-zero-flow baseline on this batch: the number a
     trained model must DECISIVELY beat for the convergence evidence to
