@@ -94,6 +94,47 @@ class CheckpointManager:
             state = state.replace(quant_stats=restored["quant_stats"])
         return state
 
+    def restore_params(self, state, step: int | None = None):
+        """Restore only params/batch_stats/step (Orbax partial restore),
+        ignoring the checkpoint's opt_state entirely.
+
+        Use when the restoring run's optimizer differs from the saving
+        run's (e.g. evaluating a checkpoint trained with the plain-Adam
+        synthetic recipe from an app that builds the reference AGC
+        chain): :meth:`restore` would fail on the opt_state structure
+        mismatch. Returns the template `state` untouched if no
+        checkpoint exists."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return state
+        full = _to_save(state)
+        template = {
+            k: jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp_shape(x), x.dtype),
+                full[k],
+            )
+            for k in ("params", "batch_stats", "step")
+        }
+        # PyTreeRestore cannot share a manager whose 'default' item is
+        # already bound to Standard* handlers (save/restore above), so
+        # partial restores go through a short-lived manager.
+        mgr = ocp.CheckpointManager(self.directory)
+        try:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item=template, partial_restore=True
+                ),
+            )
+        finally:
+            mgr.close()
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+        )
+
     def close(self):
         self._mgr.close()
 

@@ -103,6 +103,66 @@ def test_eval_sintel_pad_protocol(tmp_path):
 
 
 @pytest.mark.slow
+def test_pretrain_transfer_to_flow(tmp_path):
+    """The reference's flagship workflow at the APPS level (pre_train.py
+    -> train.py load_weights, reference README.md:38): pretrain the
+    interpolator on synthetic triplets, then start supervised flow
+    training from it via --transfer-from-interp. With lr=0 the flow
+    run's encoder/decoder/flower params must equal the pretrained ones
+    bit-exactly — proving the wiring, not just transfer_params."""
+    import jax
+    import numpy as np
+
+    from qpwcnet_tpu.apps.pretrain_interp import main as pretrain_main
+    from qpwcnet_tpu.apps.train_flow import main as train_main
+
+    pretrain_main([
+        "--data", "synthetic", "--steps", "2", "--batch-size", "2",
+        "--height", "32", "--width", "64", "--log-every", "1",
+        "--ckpt-every", "10", "--steps-per-call", "2",
+        "--recalibrate-final", "1", "--max-disp", "4",
+        "--head-scale", "diag", "--residual", "false",
+        "--run-root", str(tmp_path / "pre"),
+    ])
+    train_main([
+        "--data", "synthetic", "--steps", "1", "--batch-size", "2",
+        "--height", "32", "--width", "64", "--log-every", "1",
+        "--ckpt-every", "10", "--steps-per-call", "1",
+        "--curriculum", "", "--learning-rate", "0",
+        "--recalibrate-final", "0", "--max-disp", "4",
+        "--head-scale", "diag", "--residual", "false",
+        "--load-ckpt", str(tmp_path / "pre" / "000" / "ckpt"),
+        "--transfer-from-interp", "true",
+        "--run-root", str(tmp_path / "flow"),
+    ])
+
+    from qpwcnet_tpu.models import build_flow_net, build_interpolator
+    from qpwcnet_tpu.train import create_flow_train_state
+    from qpwcnet_tpu.train.checkpoint import (
+        CheckpointManager, TRANSFER_SUBTREES)
+
+    # restore_params: the apps pick their optimizer per-run ('auto'
+    # resolves differently for pretrain vs the lr=0 flow run), so the
+    # full-TrainState restore would fail on opt_state structure.
+    imodel, ivars = build_interpolator(jax.random.key(0), (32, 64))
+    imgr = CheckpointManager(tmp_path / "pre" / "000" / "ckpt")
+    istate = imgr.restore_params(create_flow_train_state(imodel, ivars))
+    imgr.close()
+
+    fmodel, fvars = build_flow_net(jax.random.key(0), (32, 64))
+    fmgr = CheckpointManager(tmp_path / "flow" / "000" / "ckpt")
+    fstate = fmgr.restore_params(create_flow_train_state(fmodel, fvars))
+    fmgr.close()
+
+    for name in TRANSFER_SUBTREES:
+        fa = jax.tree_util.tree_leaves(istate.params[name])
+        fb = jax.tree_util.tree_leaves(fstate.params[name])
+        assert len(fa) == len(fb) and len(fa) > 0
+        for la, lb in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
 def test_train_flow_qat_interrupt_resume(tmp_path):
     """QAT as a first-class resumable mode (VERDICT r2 #2): a QAT run
     checkpoints its quant_stats; interrupt + resume reproduces the same
