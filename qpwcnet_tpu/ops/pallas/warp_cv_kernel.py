@@ -1,0 +1,248 @@
+"""Fused warp+correlate Pallas kernel — the BASELINE.json north star,
+built and MEASURED (VERDICT r3 task 3; reference hot loop: UpFlow =
+WarpV2 -> CostVolumeV2 -> OptFlow, qpwcnet/core/layers.py:467-486).
+
+Semantics: ``cost_volume(prv, backward_warp(nxt, flow))`` in ONE
+VMEM-resident kernel — the warped features never round-trip HBM. The
+in-kernel warp is the *window* warp of the spatial fast path
+(ops/warp.py:backward_warp_window): per-pixel flow displacements are
+clamped to ±``warp_window`` pixels in both axes (documented
+approximation; exact equality with the unfused pair wherever
+|flow| <= warp_window, which the caller guarantees by choosing the
+window per pyramid level).
+
+Why masked accumulation: Mosaic cannot vectorize per-pixel 2-D dynamic
+addressing, so the bilinear gather is decomposed over the (2w+2)^2
+integer displacements of the clamped window: for each (dy, dx) the
+bilinear weight plane is computed on the VPU (zero except at the two
+straddling offsets) and FMA'd against a statically-shifted slice of the
+haloed source tile — the same static-slice + per-dx lane-shift-buffer
+structure as the production cost-volume kernel. The arithmetic cost is
+O((2w+2)^2 * (C + 4)) VPU ops per pixel, traded against the unfused
+pair's HBM round-trip of the warped features. See DESIGN.md "Fused
+warp+correlate" for the measured A/B on the 448x1024 headline shapes.
+
+Forward-only by design: the headline inference path is forward; training
+keeps the unfused warp + cost-volume pair whose custom VJPs are already
+measured-fast (ops/warp.py, cost_volume_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qpwcnet_tpu.ops.pallas.cost_volume_kernel import _to_chw, _to_hwc
+
+
+def _wcv_kernel(prv_ref, nxt_hbm, flow_hbm, out_ref, src, flow_s,
+                xshift, warped, cshift, sem, *, r: int, ww: int, th: int,
+                h: int, w: int, inv_c: float):
+    """Grid: (B, H/th). Block coords:
+
+    - warped tile rows u in [0, th+2r) <-> global row i*th - r + u;
+      cols v in [0, w+2r) <-> global col v - r.
+    - src scratch row s <-> global row i*th - r - ww + (s) i.e. source
+      offset dy in [-ww, ww+1] lives at s = u + (dy + ww); col likewise
+      at v + (dx + ww). Out-of-image positions are zero (caller pads)
+      and carry zero weight, so they never contribute.
+    """
+    c = prv_ref.shape[1]
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    rows_w = th + 2 * r            # warped tile rows
+    dma_s = pltpu.make_async_copy(
+        nxt_hbm.at[b, :, pl.ds(i * th, rows_w + 2 * ww + 2), :], src,
+        sem.at[0],
+    )
+    dma_f = pltpu.make_async_copy(
+        flow_hbm.at[b, :, pl.ds(i * th, rows_w), :], flow_s, sem.at[1],
+    )
+    dma_s.start()
+    dma_f.start()
+    dma_s.wait()
+    dma_f.wait()
+
+    # ---- phase 1: window warp into the f32 `warped` scratch ----
+    wv = w + 2 * r
+    # global output coords of the warped tile (f32 planes).
+    y_g = (jax.lax.broadcasted_iota(jnp.float32, (rows_w, wv), 0)
+           + (i * th - r))
+    x_g = (jax.lax.broadcasted_iota(jnp.float32, (rows_w, wv), 1) - r)
+    fx = flow_s[0, :, :wv]
+    fy = flow_s[1, :, :wv]
+    qx = x_g + jnp.clip(fx, -ww, ww)
+    qy = y_g + jnp.clip(fy, -ww, ww)
+    # border-clamped bilinear (ops/warp.py:_warp_coords semantics):
+    # x0 clipped to [0, size-2], alpha to [0, 1]; the clamped query
+    # qc = x0 + alpha reproduces the two corner weights as
+    # relu(1 - |qc - xs|) at integer source positions xs.
+    x0 = jnp.clip(jnp.floor(qx), 0.0, w - 2.0)
+    y0 = jnp.clip(jnp.floor(qy), 0.0, h - 2.0)
+    qxc = x0 + jnp.clip(qx - x0, 0.0, 1.0)
+    qyc = y0 + jnp.clip(qy - y0, 0.0, 1.0)
+    # zero out warped-tile positions outside the image: the cost volume
+    # correlates against a ZERO-padded warped map (ops/cost_volume.py),
+    # and the caller's padded flow rows/cols would otherwise warp
+    # garbage. Folded into the x-weight once per dx.
+    valid = ((y_g >= 0.0) & (y_g <= h - 1.0)
+             & (x_g >= 0.0) & (x_g <= w - 1.0)).astype(jnp.float32)
+
+    warped[:] = jnp.zeros_like(warped)
+    for dxi in range(2 * ww + 2):
+        dx = dxi - ww
+        # one lane-axis relayout of the haloed source per dx (cf. the
+        # per-dj hoist in cost_volume_kernel.py; lane shifts dominate).
+        xshift[:] = src[:, :, dxi:dxi + wv]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(qxc - (x_g + dx))) * valid
+        for dyi in range(2 * ww + 2):
+            dy = dyi - ww
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(qyc - (y_g + dy)))
+            wxy = (wx * wy).astype(src.dtype)
+            warped[:] += (
+                wxy[None] * xshift[:, dyi:dyi + rows_w, :]
+            ).astype(jnp.float32)
+
+    # ---- phase 2: 81-offset correlation against prv ----
+    wcast = warped[:].astype(prv_ref.dtype)
+    prv = prv_ref[0]  # (C, th, w)
+    for dj in range(d):
+        cshift[:] = wcast[:, :, dj:dj + w]
+        for di in range(d):
+            roi = cshift[:, di:di + th, :]
+            acc = jnp.sum(prv * roi, axis=0, dtype=jnp.float32) * inv_c
+            out_ref[0, di * d + dj] = jnp.where(
+                acc > 0, acc, 0.1 * acc
+            ).astype(out_ref.dtype)
+
+
+def _pick_tile_h(h, w, c, d, ww, r, itemsize,
+                 budget=12 * 1024 * 1024) -> int:
+    """Row tile under the VMEM budget (same accounting style as
+    cost_volume_kernel.py: double-buffered blocks + DMA'd scratches +
+    shift buffers + f32 warp accumulator + unrolled-loop temps)."""
+    lane = lambda x: ((x + 127) // 128) * 128  # noqa: E731
+    w_lane = lane(w)
+    wv = w + 2 * r
+    wv_lane = lane(wv)
+    wps = lane(w + 2 * r + 2 * ww + 2)
+    wpf = lane(w + 2 * r)
+    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+    for cand in range(256, 7, -8):
+        th = rup(cand)
+        rows_w = rup(cand + 2 * r)
+        rows_s = rup(cand + 2 * r + 2 * ww + 2)
+        need = (
+            2 * itemsize * c * th * w_lane          # prv block x2
+            + 2 * itemsize * d * d * th * w_lane    # out block x2
+            + itemsize * c * rows_s * wps           # src scratch
+            + 4 * 2 * rows_w * wpf                  # flow scratch (f32)
+            + itemsize * c * rows_s * wv_lane       # xshift
+            + 4 * c * rows_w * wv_lane              # warped f32 acc
+            + itemsize * c * rows_w * wv_lane       # wcast temp
+            + itemsize * c * rows_w * w_lane        # cshift
+            + 8 * 4 * rows_w * wv_lane              # weight/coord planes
+            + 2 * 4 * th * w_lane                   # corr f32 acc temps
+        )
+        if need <= budget:
+            return cand
+    return 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_range", "warp_window", "tile_h",
+                     "interpret"),
+)
+def warp_cost_volume_pallas(
+    prv: jax.Array,
+    nxt: jax.Array,
+    flow: jax.Array,
+    search_range: int = 4,
+    warp_window: int = 8,
+    tile_h: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ``cost_volume(prv, backward_warp(nxt, flow))``.
+
+    Args:
+      prv, nxt: (B, H, W, C) feature maps.
+      flow: (B, H, W, 2), (x, y) channel order, same convention as
+        ops/warp.py:backward_warp. Displacements are clamped to
+        ±warp_window in both axes (window-warp approximation).
+
+    Returns:
+      (B, H, W, (2r+1)^2) cost volume, leaky_relu(0.1)-activated,
+      channel k = (di+r)*(2r+1)+(dj+r) — identical layout/semantics to
+      cost_volume_pallas(prv, backward_warp(nxt, flow)) wherever
+      |flow| <= warp_window.
+    """
+    r = search_range
+    ww = warp_window
+    d = 2 * r + 1
+    b, h, w, c = prv.shape
+    itemsize = prv.dtype.itemsize
+    th = tile_h or _pick_tile_h(h, w, c, d, ww, r, itemsize)
+    th = min(th, max(8, ((h + 7) // 8) * 8))
+    hp = ((h + th - 1) // th) * th
+
+    lane = lambda x: ((x + 127) // 128) * 128  # noqa: E731
+    wps = lane(w + 2 * r + 2 * ww + 2)
+    wpf = lane(w + 2 * r)
+    rows_w = th + 2 * r
+    rows_s = rows_w + 2 * ww + 2
+
+    prv_t = _to_chw(prv)
+    nxt_t = _to_chw(nxt)
+    flow_t = _to_chw(flow.astype(jnp.float32))
+    if hp != h:
+        prv_t = jnp.pad(prv_t, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    # src rows [i*th - r - ww, i*th + th + r + ww + 2) => pad top by
+    # r+ww, bottom to cover the last tile; cols by r+ww+1 up to wps.
+    pad_top = r + ww
+    pad_bot = (hp - h) + r + ww + 2
+    nxt_t = jnp.pad(
+        nxt_t,
+        ((0, 0), (0, 0), (pad_top, pad_bot),
+         (r + ww, wps - w - (r + ww))),
+    )
+    # flow rows [i*th - r, i*th + th + r), cols [-r, w + r) + lane pad.
+    flow_t = jnp.pad(
+        flow_t,
+        ((0, 0), (0, 0), (r, (hp - h) + r), (r, wpf - w - r)),
+    )
+
+    kernel = functools.partial(
+        _wcv_kernel, r=r, ww=ww, th=th, h=h, w=w, inv_c=1.0 / c
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, d * d, hp, w), prv.dtype),
+        grid=(b, hp // th),
+        in_specs=[
+            pl.BlockSpec((1, c, th, w), lambda bi, ti: (bi, 0, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, d * d, th, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, rows_s, wps), nxt_t.dtype),       # src
+            pltpu.VMEM((2, rows_w, wpf), jnp.float32),       # flow_s
+            pltpu.VMEM((c, rows_s, w + 2 * r), nxt_t.dtype),  # xshift
+            pltpu.VMEM((c, rows_w, w + 2 * r), jnp.float32),  # warped
+            pltpu.VMEM((c, rows_w, w), nxt_t.dtype),         # cshift
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(prv_t, nxt_t, flow_t)
+    return _to_hwc(out[:, :, :h, :])
