@@ -78,6 +78,13 @@ def emit(partial: bool) -> None:
     if partial:
         out["partial"] = True
         out["stages_completed"] = list(_STAGES_DONE)
+    try:
+        from qpwcnet_tpu.utils.compile_cache import cache_stats
+        stats = cache_stats()
+        if stats:
+            log(f"compile cache: {stats}")
+    except Exception:
+        pass
     print(json.dumps(out), flush=True)
 
 

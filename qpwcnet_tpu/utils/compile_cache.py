@@ -13,6 +13,30 @@ DEFAULT_DIR = os.environ.get(
 )
 
 
+_COUNTS: dict[str, int] = {}
+
+
+def _on_event(name: str, **kw) -> None:
+    if "compilation_cache" in name:
+        key = name.rsplit("/", 1)[-1]
+        _COUNTS[key] = _COUNTS.get(key, 0) + 1
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", path or DEFAULT_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        from jax._src import monitoring
+        if _on_event not in monitoring.get_event_listeners():
+            monitoring.register_event_listener(_on_event)
+    except Exception:
+        pass  # monitoring is jax-internal; counting is best-effort
+
+
+def cache_stats() -> dict:
+    """Process-lifetime persistent-cache counters (JAX emits
+    '/jax/compilation_cache/{cache_hits,compile_requests_use_cache}'
+    events). Call at end of run to confirm the cache actually served —
+    VERDICT r3 weak #7: hit behavior across tunnel restarts was
+    unverified. {} until enable_compile_cache registered the listener."""
+    return dict(_COUNTS)
