@@ -390,8 +390,11 @@ def main():
     # Most-informative extras first: on a degraded tunnel the tail
     # stages are the ones that get skipped.
     stage("hbm_mfu", hbm_and_mfu, min_budget_s=30.0)
-    stage("train_steps", lambda: bench_train_steps(dtype), min_budget_s=240.0)
+    # int8 before train_steps: the r03/r04 train stage spent ~870s on
+    # remote compiles and starved the int8 stage, leaving the
+    # "int8 faster than bf16" question unmeasured since r02.
     stage("int8", lambda: bench_int8(hw, batch), min_budget_s=150.0)
+    stage("train_steps", lambda: bench_train_steps(dtype), min_budget_s=240.0)
     stage("pallas_equality", check_compiled_kernels, min_budget_s=180.0)
 
     emit(partial=False)
