@@ -35,8 +35,14 @@ def main():
         "PROF_HW", "448,1024").split(","))
     batch = int(os.environ.get("PROF_BATCH", "8"))
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model, variables = build_flow_net(jax.random.key(0), hw, dtype=dtype)
-    log(f"backend={jax.default_backend()} hw={hw} b={batch} {dtype.__name__}")
+    quant = None
+    if os.environ.get("PROF_INT8"):  # per-stage int8-vs-bf16 comparison
+        from qpwcnet_tpu.quantize import QuantConfig
+        quant = QuantConfig(mode="int8")
+    model, variables = build_flow_net(jax.random.key(0), hw, dtype=dtype,
+                                      quant=quant)
+    log(f"backend={jax.default_backend()} hw={hw} b={batch} {dtype.__name__}"
+        f" int8={bool(quant)}")
 
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.uniform(

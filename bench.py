@@ -387,9 +387,43 @@ def main():
                 f"of v5e bf16 peak")
             RESULT["mfu_vs_v5e_peak"] = round(mfu, 4)
 
+    def fused_headline():
+        # North-star fast path (BASELINE.json): cv_impl='fused' runs
+        # the warp+correlate of every UpFlow level in one VMEM-resident
+        # Pallas kernel (window-warp approximation, models/blocks.py).
+        fmodel = model.clone(cv_impl="fused")
+
+        @jax.jit
+        def fchained(variables, x):
+            out = fmodel.apply(variables, x, train=False)
+            x2 = x * 1.001 + 1e-3 * jnp.concatenate(
+                [out, out, out], axis=-1)
+            return x2, jnp.sum(x2[0, 0, :2])
+
+        xf = jnp.asarray(rng.uniform(
+            -0.5, 0.5, (batch, hw[0], hw[1], 6)).astype(np.float32))
+        t0 = time.perf_counter()
+        xf, sf = fchained(variables, xf)
+        jax.block_until_ready(xf)
+        log(f"fused: compile+first-run {time.perf_counter() - t0:.1f}s")
+        best = float("inf")
+        for w in range(3):
+            n_iter = 2 if w == 0 else 8
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                xf, sf = fchained(variables, xf)
+            assert np.isfinite(float(sf))
+            best = min(best, (time.perf_counter() - t0) / n_iter)
+            if remaining() < 30.0:
+                break
+        log(f"fused headline: {best * 1e3:.2f} ms -> "
+            f"{batch / best:.1f} pairs/s")
+        RESULT["fused_pairs_per_s"] = round(batch / best, 2)
+
     # Most-informative extras first: on a degraded tunnel the tail
     # stages are the ones that get skipped.
     stage("hbm_mfu", hbm_and_mfu, min_budget_s=30.0)
+    stage("fused_headline", fused_headline, min_budget_s=240.0)
     # int8 before train_steps: the r03/r04 train stage spent ~870s on
     # remote compiles and starved the int8 stage, leaving the
     # "int8 faster than bf16" question unmeasured since r02.

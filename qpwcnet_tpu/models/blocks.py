@@ -33,6 +33,7 @@ import dataclasses
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from qpwcnet_tpu.ops.activations import mish
@@ -322,6 +323,23 @@ class UpFlowBlock(nn.Module):
             nxt_w = backward_warp_spatial(
                 nxt, flo.astype(jnp.float32), self.spatial)
             cost = cost_volume_spatial(prv, nxt_w, self.spatial)
+        elif self.cv_impl == "fused" and not train:
+            # Opt-in inference fast path (BASELINE.json north star):
+            # warp+correlate in one VMEM-resident Pallas kernel. The
+            # in-kernel warp clamps per-pixel displacements to
+            # ±FUSED_WARP_WINDOW (window-warp approximation — pixels
+            # whose incoming flow exceeds the window lose refinement at
+            # this level; see ops/pallas/warp_cv_kernel.py and the
+            # measured EPE delta in DESIGN.md). Training always uses
+            # the exact unfused pair (the fused kernel is forward-only).
+            from qpwcnet_tpu.ops.pallas.warp_cv_kernel import (
+                FUSED_WARP_WINDOW, warp_cost_volume_pallas)
+
+            cost = warp_cost_volume_pallas(
+                prv, nxt, flo.astype(jnp.float32),
+                warp_window=FUSED_WARP_WINDOW,
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
             nxt_w = backward_warp(nxt, flo.astype(jnp.float32))
             cost = cost_volume(prv, nxt_w, impl=self.cv_impl)

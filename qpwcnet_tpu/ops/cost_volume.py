@@ -114,6 +114,12 @@ def cost_volume(
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "fused":
+        # 'fused' selects the fused warp+correlate kernel at the WARP
+        # sites (models/blocks.py:UpFlowBlock, inference only); plain
+        # warp-free cost volumes (FlowBlock, and every site during
+        # training) use the Pallas kernel.
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from qpwcnet_tpu.ops.pallas.cost_volume_kernel import (
             cost_volume_pallas,

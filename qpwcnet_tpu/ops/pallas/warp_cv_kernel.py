@@ -38,6 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qpwcnet_tpu.ops.pallas.cost_volume_kernel import _to_chw, _to_hwc
 
+# Window used by the model's cv_impl='fused' inference fast path
+# (models/blocks.py:UpFlowBlock). Compile time and VPU tap work scale
+# with (2w+2)^2 — 100 bodies at w=4 vs 324 at w=8 — so the window stays
+# at the search range; widen only with a new measured A/B.
+FUSED_WARP_WINDOW = 4
+
 
 def _wcv_kernel(prv_ref, nxt_hbm, flow_hbm, out_ref, src, flow_s,
                 xshift, warped, cshift, sem, *, r: int, ww: int, th: int,
@@ -57,8 +63,11 @@ def _wcv_kernel(prv_ref, nxt_hbm, flow_hbm, out_ref, src, flow_s,
     i = pl.program_id(1)
 
     rows_w = th + 2 * r            # warped tile rows
+    # DMA row count = the scratch's full (8-aligned) row extent — Mosaic
+    # requires sublane-dim slices aligned to the tiling; the rounding
+    # rows past rows_w + 2ww + 2 are padding and never read.
     dma_s = pltpu.make_async_copy(
-        nxt_hbm.at[b, :, pl.ds(i * th, rows_w + 2 * ww + 2), :], src,
+        nxt_hbm.at[b, :, pl.ds(i * th, src.shape[1]), :], src,
         sem.at[0],
     )
     dma_f = pltpu.make_async_copy(
@@ -71,10 +80,13 @@ def _wcv_kernel(prv_ref, nxt_hbm, flow_hbm, out_ref, src, flow_s,
 
     # ---- phase 1: window warp into the f32 `warped` scratch ----
     wv = w + 2 * r
-    # global output coords of the warped tile (f32 planes).
-    y_g = (jax.lax.broadcasted_iota(jnp.float32, (rows_w, wv), 0)
-           + (i * th - r))
-    x_g = (jax.lax.broadcasted_iota(jnp.float32, (rows_w, wv), 1) - r)
+    # global output coords of the warped tile (f32 planes). Mosaic's
+    # tpu.iota only produces integers — iota in i32, then convert
+    # (interpret mode accepts a float iota; the real backend does not).
+    y_g = (jax.lax.broadcasted_iota(jnp.int32, (rows_w, wv), 0)
+           .astype(jnp.float32) + (i * th - r))
+    x_g = (jax.lax.broadcasted_iota(jnp.int32, (rows_w, wv), 1)
+           .astype(jnp.float32) - r)
     fx = flow_s[0, :, :wv]
     fy = flow_s[1, :, :wv]
     qx = x_g + jnp.clip(fx, -ww, ww)
@@ -196,17 +208,20 @@ def warp_cost_volume_pallas(
     wps = lane(w + 2 * r + 2 * ww + 2)
     wpf = lane(w + 2 * r)
     rows_w = th + 2 * r
-    rows_s = rows_w + 2 * ww + 2
+    # scratch/DMA rows rounded to the sublane tiling (8) — Mosaic
+    # rejects unaligned HBM->VMEM row slices.
+    rows_s = ((rows_w + 2 * ww + 2 + 7) // 8) * 8
 
     prv_t = _to_chw(prv)
     nxt_t = _to_chw(nxt)
     flow_t = _to_chw(flow.astype(jnp.float32))
     if hp != h:
         prv_t = jnp.pad(prv_t, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
-    # src rows [i*th - r - ww, i*th + th + r + ww + 2) => pad top by
-    # r+ww, bottom to cover the last tile; cols by r+ww+1 up to wps.
+    # src rows [i*th - r - ww, i*th + rows_s) => pad top by r+ww,
+    # bottom to cover the last tile's full aligned DMA extent; cols by
+    # r+ww+1 up to wps.
     pad_top = r + ww
-    pad_bot = (hp - h) + r + ww + 2
+    pad_bot = (hp - h) + (rows_s - rows_w + r - ww)
     nxt_t = jnp.pad(
         nxt_t,
         ((0, 0), (0, 0), (pad_top, pad_bot),
@@ -243,6 +258,11 @@ def warp_cost_volume_pallas(
             pltpu.VMEM((c, rows_w, w), nxt_t.dtype),         # cshift
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # The (2w+2)^2 unrolled warp taps leave Mosaic with a deep
+        # stack of live vector temporaries well past the default 16 MB
+        # scoped-vmem limit (measured 61 MB at th=24); v5e has 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(prv_t, nxt_t, flow_t)
     return _to_hwc(out[:, :, :h, :])

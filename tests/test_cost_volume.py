@@ -163,3 +163,32 @@ def test_fused_warp_cv_clamps_flow_to_window():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_fused_warp_cv_multitile_unaligned_h():
+    """Multi-row-tile grid with h not a tile multiple (hp padding) and a
+    DMA row extent that needs sublane-rounding (tile_h=8, ww=2 =>
+    rows_s 24->24... the 8-alignment path is exercised for every tile):
+    the tile seams and padded rows must not leak into the output."""
+    from qpwcnet_tpu.ops.pallas.warp_cv_kernel import warp_cost_volume_pallas
+    from qpwcnet_tpu.ops.warp import backward_warp
+
+    rng = np.random.RandomState(9)
+    ww = 2
+    prv = rng.standard_normal((2, 20, 24, 4)).astype(np.float32)
+    nxt = rng.standard_normal((2, 20, 24, 4)).astype(np.float32)
+    flow = (rng.rand(2, 20, 24, 2).astype(np.float32) * 2 - 1) * ww
+    want = np.asarray(
+        cost_volume_xla(
+            jnp.asarray(prv),
+            backward_warp(jnp.asarray(nxt), jnp.asarray(flow)),
+        )
+    )
+    got = np.asarray(
+        warp_cost_volume_pallas(
+            jnp.asarray(prv), jnp.asarray(nxt), jnp.asarray(flow),
+            search_range=4, warp_window=ww, tile_h=8, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)

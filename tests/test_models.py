@@ -7,6 +7,7 @@ full-model CPU compiles are expensive on this host.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -212,3 +213,21 @@ def test_fuse_batch_interp_eval_exact(interp_setup):
     for fa, fb in zip(a01 + a10, b01 + b10):
         np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                    rtol=0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_cv_impl_fused_inference_matches_xla(flow_setup):
+    """cv_impl='fused' (the fused warp+correlate inference fast path,
+    models/blocks.py:UpFlowBlock) == cv_impl='xla' on a fresh init: the
+    zero-init flow heads emit exactly-zero flows, so the window clamp is
+    inert and the fused kernel must reproduce the unfused pair. Runs the
+    Pallas kernel in interpret mode on CPU (slow)."""
+    model, variables = flow_setup
+    fused = model.clone(cv_impl="fused")
+    x = jnp.asarray(
+        np.random.RandomState(11).uniform(-0.5, 0.5, (1, H, W, 6)),
+        jnp.float32)
+    a = model.apply(variables, x, train=False)
+    b = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-4)
