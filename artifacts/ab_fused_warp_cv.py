@@ -40,14 +40,21 @@ def chained_loop(fn):
         def body(_, carry):
             p, n, f = carry
             out = fn(p, n, f)
-            # scalar feedback large enough to survive bf16 rounding
+            # scalar feedback large enough to survive bf16 rounding.
+            # EVERY carry is perturbed: any operand left loop-invariant
+            # lets XLA hoist the work that consumes it out of the loop
+            # (observed: a warp-only body timed as a no-op because both
+            # its inputs were invariant).
             eps = 7.8e-3 * (1.0 + 0.1 * jnp.tanh(
                 jnp.mean(out, dtype=jnp.float32)))
             s = (1.0 + eps)
-            return (p * s.astype(p.dtype), n, f)
+            return (p * s.astype(p.dtype), n * s.astype(n.dtype),
+                    f * (2.0 - s))
 
         p, n, f = jax.lax.fori_loop(0, K_INNER, body, (prv, nxt, flow))
-        return jnp.sum(p[0, 0, 0, :2].astype(jnp.float32))
+        return jnp.sum(p[0, 0, 0, :2].astype(jnp.float32)
+                       + n[0, 0, 0, :2].astype(jnp.float32)
+                       + f[0, 0, 0, :2])
 
     return run
 
