@@ -78,6 +78,26 @@ def _warp_coords(flow, h: int, w: int, hp: int, wp: int,
     return x0, y0, ax, ay
 
 
+# Gather formulation used by _warp_impl. 'gather2x2': ONE lax.gather of
+# (1,2,2,C) corner slices. 'taa4': four take_along_axis corner gathers
+# over flattened HW — each emits (B,HW,C) in the C-minor layout the
+# lerp and downstream convs already use, avoiding the (B,HW,2,2,C)
+# relayout copies XLA inserts after the slice gather (measured 235 MB
+# of pure copy at the finest headline level, artifacts/hlo_bytes.py).
+_WARP_GATHER = "gather2x2"
+
+
+def set_warp_gather(kind: str) -> None:
+    """Select the warp gather formulation ('gather2x2' | 'taa4').
+
+    Module-level because the warp is called from inside nn.Modules whose
+    signatures shouldn't carry backend tuning knobs. Affects tracing:
+    call before jit, or re-jit after switching."""
+    global _WARP_GATHER
+    assert kind in ("gather2x2", "taa4"), kind
+    _WARP_GATHER = kind
+
+
 def _warp_impl(img: jax.Array, flow: jax.Array,
                y_offset: int = 0) -> jax.Array:
     b, hi, wi, c = img.shape
@@ -97,6 +117,21 @@ def _warp_impl(img: jax.Array, flow: jax.Array,
     x0, y0, ax, ay = _warp_coords(flow, h, w, hp, wp, y_offset)
     ax = ax[..., None].astype(img.dtype)
     ay = ay[..., None].astype(img.dtype)
+
+    if _WARP_GATHER == "taa4":
+        flat = img.reshape(b, hp * wp, c)
+        lin = (y0.astype(jnp.int32) * wp
+               + x0.astype(jnp.int32)).reshape(b, h * w)
+
+        def gat(off):
+            return jnp.take_along_axis(
+                flat, (lin + off)[..., None], axis=1).reshape(b, h, w, c)
+
+        g00, g01 = gat(0), gat(1)
+        g10, g11 = gat(wp), gat(wp + 1)
+        top = g00 + (g01 - g00) * ax
+        bot = g10 + (g11 - g10) * ax
+        return top + (bot - top) * ay
 
     idx = jnp.stack(
         [y0.astype(jnp.int32), x0.astype(jnp.int32)], axis=-1
