@@ -58,8 +58,13 @@ def _dw_quant(quant: Optional[QuantConfig]) -> Optional[QuantConfig]:
 def _int8_mode(quant: Optional[QuantConfig]) -> bool:
     """True when executing with real int8 arithmetic — conv chains then
     pass QTensors (int8 values + scale) between layers instead of float
-    maps, the bandwidth fix that makes the deployment artifact actually
-    faster than bf16 (quantize/qtensor.py)."""
+    maps. MEASURED: chaining recovered part of the int8 deficit (89.2
+    r2 -> 95.2 r4 pairs/s) but the deployment artifact is still slower
+    than bf16 inference (112.5) — the cost-volume/warp/concat
+    boundaries stay float and dominate HBM traffic, and each chain
+    boundary pays a requant epilogue (quantize/qtensor.py has the full
+    account). int8 remains the deployment-artifact path (TFLite-parity
+    semantics), not a throughput optimization."""
     return quant is not None and quant.mode == "int8"
 
 

@@ -19,6 +19,17 @@ reference's deployment path intends (convert_tflite.py:211-219).
 
 Non-conv consumers (cost volume, warp, BatchNorm, concat, resize) take
 floats: blocks call :func:`dequantize` at those boundaries.
+
+MEASURED OUTCOME (round 4, v5e, 448x1024 b8): chaining moved int8
+inference from 89.2 to 95.2 pairs/s, but bf16 still wins at 112.5.
+The remaining deficit is structural, not a missing fusion: the 81-ch
+cost volumes, warps, BatchNorm and concat boundaries run float by
+design (quantizing a correlation's input would square its error), and
+those boundaries carry most of the HBM bytes in this bandwidth-bound
+model, so int8's 2x compression applies only to a minority of the
+traffic while every chain boundary still pays a requant epilogue.
+int8 here is the deployment-artifact semantics (QAT-calibrated,
+TFLite-parity, convert_quant.py), not a speedup over bf16.
 """
 
 from __future__ import annotations

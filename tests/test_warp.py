@@ -71,3 +71,36 @@ def test_border_clamp():
     flow[..., 0] = 100.0
     out = np.asarray(backward_warp(jnp.asarray(img), jnp.asarray(flow)))
     np.testing.assert_allclose(out[0, 0, :, 0], 7.0, atol=1e-6)
+
+
+def test_warp_gather_formulations_equal():
+    """'taa4' (four take_along_axis corner gathers over flattened HW)
+    must equal 'gather2x2' (one lax.gather of 2x2xC corner slices)
+    bit-for-bit in f32 — same corners, same lerp order — including the
+    gradient (the custom scatter-add VJP is shared). The formulations
+    differ only in gather layout (ops/warp.py:_WARP_GATHER)."""
+    import jax
+
+    from qpwcnet_tpu.ops import warp as warp_mod
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(2, 9, 13, 5).astype(np.float32))
+    flow = jnp.asarray((rng.randn(2, 9, 13, 2) * 3).astype(np.float32))
+
+    def run():
+        f = jax.jit(lambda i, fl: backward_warp(i, fl))
+        out = f(img, flow)
+        g = jax.grad(lambda i, fl: float(0) + jnp.sum(
+            jnp.sin(backward_warp(i, fl))), (0, 1))(img, flow)
+        return np.asarray(out), np.asarray(g[0]), np.asarray(g[1])
+
+    warp_mod.set_warp_gather("gather2x2")
+    o_ref, gi_ref, gf_ref = run()
+    try:
+        warp_mod.set_warp_gather("taa4")
+        o, gi, gf = run()
+    finally:
+        warp_mod.set_warp_gather("gather2x2")
+    np.testing.assert_array_equal(o, o_ref)
+    np.testing.assert_allclose(gi, gi_ref, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gf, gf_ref, rtol=1e-6, atol=1e-5)
