@@ -318,9 +318,36 @@ def _init_variables(model, rng, init_hw):
     stats) are spatial-shape-independent — the OptFlow sqrt(h²+w²) scale
     is recomputed per call — so initializing at the full input resolution
     would only waste a multi-minute device compile. (64, 128) is the
-    smallest comfortable 5-level pyramid."""
+    smallest comfortable 5-level pyramid.
+
+    The init runs EAGERLY ON CPU and the finished tree is device_put to
+    the default backend. Rationale (all three alternatives measured,
+    round 4): an eager `model.init` on the remote-tunnel TPU dispatches
+    every per-parameter RNG primitive as its own mini-program — ~40
+    compiles + round trips = 418 s of process startup per bench/app
+    run; jitting the whole init as ONE TPU program instead traces the
+    forward too, so the single compile (XLA + 5 Mosaic cost-volume
+    kernels) took >580 s on a cache miss — and a jitted init recompiles
+    per build_flow_net call anyway (fresh closure each time). Eager CPU
+    init is ~19 s in a fresh process (primitive compiles are in-process
+    cached after that), needs no tunnel at all, and parameter values
+    are backend-independent (threefry RNG is deterministic across
+    backends; ulp-level f32 differences in the init transforms are
+    irrelevant — checkpoints are the value source of truth)."""
     dummy = jnp.zeros((1, init_hw[0], init_hw[1], 6), jnp.float32)
-    return model.init(rng, dummy, train=False)
+    # The XLA cost volume for the init trace: Mosaic kernels can't lower
+    # for CPU, and the cost volume is parameter-free so the init tree is
+    # identical either way.
+    init_model = (model.clone(cv_impl="xla")
+                  if hasattr(model, "cv_impl") else model)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = init_model.init(
+            jax.device_put(rng, cpu), jax.device_put(dummy, cpu),
+            train=False)
+    if jax.default_backend() != "cpu":
+        variables = jax.device_put(variables, jax.devices()[0])
+    return variables
 
 
 def build_flow_net(

@@ -84,6 +84,14 @@ def _warp_coords(flow, h: int, w: int, hp: int, wp: int,
 # lerp and downstream convs already use, avoiding the (B,HW,2,2,C)
 # relayout copies XLA inserts after the slice gather (measured 235 MB
 # of pure copy at the finest headline level, artifacts/hlo_bytes.py).
+#
+# MEASURED (round 4, in-model 448x1024 b8 bf16 headline,
+# artifacts/ab_warp_inmodel2.py): taa4 LOSES — 98.1 ms vs 68.7 ms for
+# gather2x2. Four single-corner gathers issue 4x the gather descriptors
+# and defeat XLA's fusion of the 2x2 corner block into one kernel; the
+# relayout copies they avoid are cheaper than the extra gather passes.
+# gather2x2 stays the default; taa4 is kept as the documented negative
+# result (value/grad equality: tests/test_warp.py).
 _WARP_GATHER = "gather2x2"
 
 
