@@ -346,7 +346,11 @@ def _init_variables(model, rng, init_hw):
             jax.device_put(rng, cpu), jax.device_put(dummy, cpu),
             train=False)
     if jax.default_backend() != "cpu":
-        variables = jax.device_put(variables, jax.devices()[0])
+        # local_devices, not devices: in multi-host runs (parallel/
+        # multihost.py) jax.devices() is the GLOBAL list, and on
+        # process_index>0 entry [0] is not addressable — device_put
+        # would raise at startup (ADVICE r4).
+        variables = jax.device_put(variables, jax.local_devices()[0])
     return variables
 
 

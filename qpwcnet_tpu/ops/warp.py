@@ -29,11 +29,12 @@ Two implementations are provided:
     (reference test/test_warp.py compares Warp vs WarpV2); interior pixels
     agree between both implementations.
 
-TPU note: the gather is formulated as a single flattened-HW
-``take_along_axis`` per corner (4 gathers), which XLA lowers to an efficient
-dynamic-gather on TPU. The four corner indices are derived from one
-top-left linear index (offsets +1, +W, +W+1 are in-bounds by construction in
-the production op).
+TPU note: the production gather fetches the whole 2x2xC bilinear corner
+block with ONE ``lax.gather`` (slice_sizes=(1,2,2,C), the 'gather2x2'
+formulation below); the corner origin is clipped so the slice is in-bounds
+by construction. The alternative 'taa4' formulation (four flattened-HW
+``take_along_axis`` gathers, one per corner) measured SLOWER in-model —
+see the negative-result note at ``_WARP_GATHER``.
 """
 
 from __future__ import annotations

@@ -101,6 +101,9 @@ def test_warp_gather_formulations_equal():
         o, gi, gf = run()
     finally:
         warp_mod.set_warp_gather("gather2x2")
-    np.testing.assert_array_equal(o, o_ref)
+    # Not bit-exact: two differently-formulated jitted XLA programs may
+    # fuse/reassociate differently across backends; a tiny atol is the
+    # portable claim (ADVICE r4).
+    np.testing.assert_allclose(o, o_ref, rtol=0, atol=1e-6)
     np.testing.assert_allclose(gi, gi_ref, rtol=0, atol=1e-6)
     np.testing.assert_allclose(gf, gf_ref, rtol=1e-6, atol=1e-5)
