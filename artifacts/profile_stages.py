@@ -39,10 +39,19 @@ def main():
     if os.environ.get("PROF_INT8"):  # per-stage int8-vs-bf16 comparison
         from qpwcnet_tpu.quantize import QuantConfig
         quant = QuantConfig(mode="int8")
+    # PROF_CV_IMPL: '' (auto) | 'fused' | comma-tuple per level, e.g.
+    # 'pallas,pallas,pallas,fused,fused' — profiles the fused fast path
+    # stage by stage (VERDICT r4 #3: find where the standalone win goes).
+    cv_impl = os.environ.get("PROF_CV_IMPL", "auto")
+    if "," in cv_impl:
+        cv_impl = tuple(cv_impl.split(","))
+    # PROF_S2D: int, number of encoder stages in the s2d spelling.
+    s2d_stages = int(os.environ.get("PROF_S2D", "0"))
     model, variables = build_flow_net(jax.random.key(0), hw, dtype=dtype,
-                                      quant=quant)
+                                      quant=quant, cv_impl=cv_impl,
+                                      s2d_stages=s2d_stages)
     log(f"backend={jax.default_backend()} hw={hw} b={batch} {dtype.__name__}"
-        f" int8={bool(quant)}")
+        f" int8={bool(quant)} cv_impl={cv_impl} s2d={s2d_stages}")
 
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.uniform(

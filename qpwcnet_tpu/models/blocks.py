@@ -118,6 +118,11 @@ class DownConv(nn.Module):
     use_normalizer: bool = False
     dtype: Any = jnp.float32
     quant: Optional[QuantConfig] = None
+    # Space-to-depth spelling of the stride-2 conv_a (exact; see
+    # qlayers._s2d_conv): the low-channel-count stems otherwise make
+    # XLA:TPU pick spatial-minor layouts and pay GB-scale relayout
+    # copies (round-4 attribution, artifacts/hlo_bytes.py).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -137,6 +142,7 @@ class DownConv(nn.Module):
                 dtype=self.dtype,
                 act=mish,
                 quant=self.quant,
+                input_s2d=self.s2d and stride == 2,
                 name=name,
             )(x, update_stats=train,
               emit_qtensor=(emit_qtensor if last else chain_q))
@@ -328,19 +334,26 @@ class UpFlowBlock(nn.Module):
             nxt_w = backward_warp_spatial(
                 nxt, flo.astype(jnp.float32), self.spatial)
             cost = cost_volume_spatial(prv, nxt_w, self.spatial)
-        elif self.cv_impl == "fused" and not train:
-            # Opt-in inference fast path (BASELINE.json north star):
-            # warp+correlate in one VMEM-resident Pallas kernel. The
+        elif self.cv_impl == "fused":
+            # Opt-in fast path (BASELINE.json north star): warp +
+            # correlate in one VMEM-resident Pallas kernel. The
             # in-kernel warp clamps per-pixel displacements to
             # ±FUSED_WARP_WINDOW (window-warp approximation — pixels
             # whose incoming flow exceeds the window lose refinement at
             # this level; see ops/pallas/warp_cv_kernel.py and the
-            # measured EPE delta in DESIGN.md). Training always uses
-            # the exact unfused pair (the fused kernel is forward-only).
+            # measured EPE delta in DESIGN.md). In training the fused
+            # forward carries a custom VJP (exact for the window-warp
+            # forward; backward recomputes the warp through the unfused
+            # measured-fast VJPs, checkpoint-style).
             from qpwcnet_tpu.ops.pallas.warp_cv_kernel import (
-                FUSED_WARP_WINDOW, warp_cost_volume_pallas)
+                FUSED_WARP_WINDOW,
+                warp_cost_volume_pallas,
+                warp_cost_volume_trainable,
+            )
 
-            cost = warp_cost_volume_pallas(
+            op = (warp_cost_volume_trainable if train
+                  else warp_cost_volume_pallas)
+            cost = op(
                 prv, nxt, flo.astype(jnp.float32),
                 warp_window=FUSED_WARP_WINDOW,
                 interpret=jax.default_backend() != "tpu",

@@ -57,11 +57,16 @@ class Encoder(nn.Module):
     filters: Sequence[int] = ENCODER_FILTERS
     dtype: Any = jnp.float32
     quant: QuantConfig | None = None
+    # First s2d_stages stages run their stride-2 conv in the exact
+    # space-to-depth spelling (blocks.DownConv.s2d) — the fix for the
+    # measured GB-scale relayout copies around the low-C stem convs.
+    s2d_stages: int = 0
 
     def setup(self):
         self.stages = [
             DownConv(f, use_normalizer=False, dtype=self.dtype,
-                     quant=self.quant, name=f"stage_{i}")
+                     quant=self.quant, s2d=(i < self.s2d_stages),
+                     name=f"stage_{i}")
             for i, f in enumerate(self.filters)
         ]
 
@@ -118,7 +123,13 @@ class Flower(nn.Module):
 
     num_levels: int = len(DECODER_FILTERS)
     dtype: Any = jnp.float32
-    cv_impl: str = "auto"
+    # Either one impl string for every level ('auto'|'xla'|'pallas'|
+    # 'fused'), or a TUPLE of num_levels+1 strings: entry 0 is the
+    # coarsest FlowBlock, entries 1..num_levels the UpFlowBlocks coarse
+    # to fine — per-level dispatch so e.g. only the fine levels (where
+    # the fused warp+correlate kernel's measured win lives) run fused
+    # while coarse levels keep the exact pair.
+    cv_impl: Any = "auto"
     quant: QuantConfig | None = None
     spatial: Any = None
     # Trainable-from-scratch head parameterization (see
@@ -127,13 +138,19 @@ class Flower(nn.Module):
     head_scale: str = "diag"
     residual: bool = False
 
+    def _impl_at(self, i: int) -> str:
+        if isinstance(self.cv_impl, tuple):
+            assert len(self.cv_impl) == self.num_levels + 1, self.cv_impl
+            return self.cv_impl[i]
+        return self.cv_impl
+
     def setup(self):
-        self.flow = FlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
+        self.flow = FlowBlock(dtype=self.dtype, cv_impl=self._impl_at(0),
                               quant=self.quant, spatial=self.spatial,
                               head_scale=self.head_scale,
                               name="flow_0")
         self.upflows = [
-            UpFlowBlock(dtype=self.dtype, cv_impl=self.cv_impl,
+            UpFlowBlock(dtype=self.dtype, cv_impl=self._impl_at(i + 1),
                         quant=self.quant, spatial=self.spatial,
                         head_scale=self.head_scale,
                         residual=self.residual,
@@ -162,11 +179,13 @@ class PWCFlowNet(nn.Module):
     """
 
     dtype: Any = jnp.float32
-    cv_impl: str = "auto"
+    cv_impl: Any = "auto"  # str, or per-level tuple (see Flower.cv_impl)
     quant: QuantConfig | None = None
     spatial: Any = None
     head_scale: str = "diag"
     residual: bool = False
+    # See Encoder.s2d_stages (exact s2d spelling of the stem convs).
+    s2d_stages: int = 0
     # Run the siamese encoder/decoder ONCE on the 2B-stacked [prv; nxt]
     # batch instead of twice on B (numerically exact: the encoder and
     # decoder are normalizer-free, pwcnet.py:142-146, so no batch
@@ -175,7 +194,8 @@ class PWCFlowNet(nn.Module):
     fuse_batch: bool = True
 
     def setup(self):
-        self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
+        self.encoder = Encoder(dtype=self.dtype, quant=self.quant,
+                               s2d_stages=self.s2d_stages)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
                              quant=self.quant, spatial=self.spatial,
@@ -217,10 +237,12 @@ class PWCInterpolator(nn.Module):
     """
 
     dtype: Any = jnp.float32
-    cv_impl: str = "auto"
+    cv_impl: Any = "auto"  # str, or per-level tuple (see Flower.cv_impl)
     quant: QuantConfig | None = None
     head_scale: str = "diag"
     residual: bool = False
+    # See Encoder.s2d_stages (exact s2d spelling of the stem convs).
+    s2d_stages: int = 0
     # Batch-fuse the siamese pyramid (exact — no normalizers) AND the
     # two Flower directions into single 2B calls. The shared Flower is
     # the interp step's dominant cost; one 2B pass halves its op/launch
@@ -232,7 +254,8 @@ class PWCInterpolator(nn.Module):
     fuse_batch: bool = True
 
     def setup(self):
-        self.encoder = Encoder(dtype=self.dtype, quant=self.quant)
+        self.encoder = Encoder(dtype=self.dtype, quant=self.quant,
+                               s2d_stages=self.s2d_stages)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
                              quant=self.quant,
@@ -358,13 +381,14 @@ def build_flow_net(
     rng: jax.Array,
     input_hw: tuple[int, int] = (256, 512),
     dtype: Any = jnp.float32,
-    cv_impl: str = "auto",
+    cv_impl: Any = "auto",
     init_hw: tuple[int, int] = (64, 128),
     quant: QuantConfig | None = None,
     spatial: Any = None,
     head_scale: str = "diag",
     residual: bool = False,
     fuse_batch: bool = True,
+    s2d_stages: int = 0,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
@@ -383,7 +407,7 @@ def build_flow_net(
     del input_hw
     kw = dict(dtype=dtype, cv_impl=cv_impl, quant=quant,
               head_scale=head_scale, residual=residual,
-              fuse_batch=fuse_batch)
+              fuse_batch=fuse_batch, s2d_stages=s2d_stages)
     init_model = PWCFlowNet(**kw)
     variables = _init_variables(init_model, rng, init_hw)
     model = (init_model if spatial is None else
@@ -395,7 +419,7 @@ def build_interpolator(
     rng: jax.Array,
     input_hw: tuple[int, int] = (256, 512),
     dtype: Any = jnp.float32,
-    cv_impl: str = "auto",
+    cv_impl: Any = "auto",
     init_hw: tuple[int, int] = (64, 128),
     quant: QuantConfig | None = None,
     head_scale: str = "diag",

@@ -22,9 +22,18 @@ O((2w+2)^2 * (C + 4)) VPU ops per pixel, traded against the unfused
 pair's HBM round-trip of the warped features. See DESIGN.md "Fused
 warp+correlate" for the measured A/B on the 448x1024 headline shapes.
 
-Forward-only by design: the headline inference path is forward; training
-keeps the unfused warp + cost-volume pair whose custom VJPs are already
-measured-fast (ops/warp.py, cost_volume_kernel.py).
+Forward-only at the Pallas level; :func:`warp_cost_volume_trainable`
+(round 5, VERDICT r4 #6) adds a custom VJP so TRAINING can use the fused
+forward too. The identity that makes the gradient exact (not an
+approximation): the kernel's window warp equals
+``backward_warp(nxt, clip(flow, ±ww))`` everywhere — displacement
+clamping is just a clip on the flow argument — so the fused op IS the
+composition ``cost_volume(prv, backward_warp(nxt, clip(flow)))`` and its
+VJP is the composition's VJP (computed with the already-measured-fast
+unfused custom VJPs: warp scatter-add, cost-volume bwd kernels). The
+backward recomputes the warped features instead of loading them as a
+residual — a jax.checkpoint-style trade that removes the forward's
+warped-feature HBM round-trip.
 """
 
 from __future__ import annotations
@@ -266,3 +275,61 @@ def warp_cost_volume_pallas(
         interpret=interpret,
     )(prv_t, nxt_t, flow_t)
     return _to_hwc(out[:, :, :h, :])
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_fused(search_range: int, warp_window: int,
+                     interpret: bool):
+    """Build the custom-VJP fused op for one static config (cached so
+    repeated model traces reuse one primitive)."""
+    import jax.numpy as jnp
+
+    from qpwcnet_tpu.ops.cost_volume import cost_volume
+    from qpwcnet_tpu.ops.warp import backward_warp
+
+    ww = float(warp_window)
+
+    def unfused(prv, nxt, flow):
+        # The EXACT composition the fused kernel computes: window warp
+        # == backward_warp with the flow clipped to ±ww (see module
+        # docstring). Differentiating this IS differentiating the fused
+        # forward; clip correctly zeroes the flow gradient where the
+        # window saturates.
+        nxt_w = backward_warp(nxt, jnp.clip(flow, -ww, ww))
+        return cost_volume(prv, nxt_w, search_range=search_range,
+                           impl="xla" if interpret else "pallas")
+
+    @jax.custom_vjp
+    def fused(prv, nxt, flow):
+        return warp_cost_volume_pallas(
+            prv, nxt, flow, search_range=search_range,
+            warp_window=warp_window, interpret=interpret)
+
+    def fwd(prv, nxt, flow):
+        return fused(prv, nxt, flow), (prv, nxt, flow)
+
+    def bwd(res, g):
+        prv, nxt, flow = res
+        _, vjp = jax.vjp(unfused, prv, nxt, flow)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def warp_cost_volume_trainable(
+    prv: jax.Array,
+    nxt: jax.Array,
+    flow: jax.Array,
+    search_range: int = 4,
+    warp_window: int = FUSED_WARP_WINDOW,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`warp_cost_volume_pallas` with a custom VJP for training:
+    fused forward (no warped-feature HBM round-trip), backward through
+    the unfused composition's measured-fast VJPs, recomputing the warp
+    (checkpoint-style). Gradient is EXACT for the fused (window-warp)
+    forward; it differs from the unfused pair's gradient only where
+    |flow| > warp_window (where the forwards differ too)."""
+    return _trainable_fused(search_range, warp_window, interpret)(
+        prv, nxt, flow)

@@ -70,6 +70,41 @@ def _dw_conv(x, kernel):
     )
 
 
+def _s2d_conv(x, kernel):
+    """Exactly-equivalent space-to-depth spelling of a 3x3/stride-2 SAME
+    conv: a 2x2/stride-1 conv on the factor-2 space-to-depth input.
+
+    Why: XLA:TPU picks spatial-minor layouts for low-channel-count convs
+    (C=3 input, C=16 stems) and pays relayout copies around them — the
+    round-4 attribution measured the encoder accessing 8.7 GB vs ~0.9 GB
+    logical at the 448x1024 b8 headline (artifacts/hlo_bytes.py). The
+    s2d form quadruples the contraction depth (C -> 4C) and halves the
+    spatial extent, the classic TPU conv0 fix (cf. MLPerf ResNet
+    space-to-depth stem).
+
+    Derivation (XLA SAME for k=3,s=2 pads (0,1): out[i,j] =
+    sum_{di,dj in 0..2} x[2i+di, 2j+dj] * k[di,dj]): with
+    y[p,q, c*4+r*2+s] = x[2p+r, 2q+s, c], the output is a 2x2 conv over
+    y with padding (0,1) and kernel k'[dp,dq, c*4+r*2+s, f] =
+    k[2dp+r, 2dq+s, c, f] (zero where 2dp+r==3 or 2dq+s==3). The kernel
+    PARAM keeps its reference (3,3,C,F) shape — the rearrange happens
+    per call, so checkpoints transfer between formulations bit-for-bit.
+
+    x: (B, H, W, C) with H, W even; kernel: (3, 3, C, F).
+    """
+    b, h, w, c = x.shape
+    f = kernel.shape[-1]
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, 4 * c)
+    kpad = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    k2 = kpad.reshape(2, 2, 2, 2, c, f)            # (dp, r, dq, s, c, f)
+    k2 = k2.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, 4 * c, f)
+    return jax.lax.conv_general_dilated(
+        y, k2, (1, 1), [(0, 1), (0, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 @jax.custom_vjp
 def _depthwise_conv(x, kernel):
     """Full depthwise conv (stride 1, SAME, odd kernel) with a
@@ -135,6 +170,11 @@ class QConv(nn.Module):
     # scales fold into the kernel in the int8 execution path, so the
     # arithmetic stays int8 x int8 (quantize/int8.py).
     per_channel_in: bool = False
+    # Execute this conv in its space-to-depth spelling (see _s2d_conv);
+    # exact for kernel 3x3 / stride 2 / SAME, and only applied there.
+    # Float/QAT paths only — the int8 execution path keeps its own conv
+    # (int8_conv_apply) unchanged.
+    input_s2d: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
@@ -202,7 +242,16 @@ class QConv(nn.Module):
                     kernel, weight_scale(kernel, self.quant.qmax),
                     self.quant.qmax,
                 )
-            if (self.feature_group_count > 1
+            if (self.input_s2d
+                    and (kh, kw) == (3, 3)
+                    and tuple(self.strides) == (2, 2)
+                    and self.padding == "SAME"
+                    and self.feature_group_count == 1
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                y = _s2d_conv(
+                    x.astype(self.dtype), kernel.astype(self.dtype)
+                )
+            elif (self.feature_group_count > 1
                     and in_ch == 1
                     and self.features == self.feature_group_count
                     and tuple(self.strides) == (1, 1)

@@ -192,3 +192,45 @@ def test_fused_warp_cv_multitile_unaligned_h():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_trainable_fused_value_and_grad():
+    """warp_cost_volume_trainable: forward == the fused kernel; gradient
+    == the gradient of the EXACT composition it computes,
+    cost_volume(prv, backward_warp(nxt, clip(flow, ±ww))) — including at
+    clamped pixels (flow grad 0 there). Interpret mode, tiny shapes."""
+    from qpwcnet_tpu.ops.pallas.warp_cv_kernel import (
+        warp_cost_volume_pallas,
+        warp_cost_volume_trainable,
+    )
+    from qpwcnet_tpu.ops.warp import backward_warp
+
+    rng = np.random.RandomState(3)
+    ww = 2
+    prv = jnp.asarray(rng.standard_normal((1, 16, 24, 4)).astype(np.float32))
+    nxt = jnp.asarray(rng.standard_normal((1, 16, 24, 4)).astype(np.float32))
+    # mix of in-window and clamped displacements
+    flow = jnp.asarray(
+        (rng.rand(1, 16, 24, 2).astype(np.float32) * 2 - 1) * (2 * ww))
+
+    got = warp_cost_volume_trainable(
+        prv, nxt, flow, search_range=4, warp_window=ww, interpret=True)
+    want = warp_cost_volume_pallas(
+        prv, nxt, flow, search_range=4, warp_window=ww, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss_fused(p, n, f):
+        return jnp.sum(jnp.sin(warp_cost_volume_trainable(
+            p, n, f, search_range=4, warp_window=ww, interpret=True)))
+
+    def loss_ref(p, n, f):
+        nw = backward_warp(n, jnp.clip(f, -float(ww), float(ww)))
+        return jnp.sum(jnp.sin(cost_volume_xla(p, nw)))
+
+    g_fused = jax.grad(loss_fused, (0, 1, 2))(prv, nxt, flow)
+    g_ref = jax.grad(loss_ref, (0, 1, 2))(prv, nxt, flow)
+    for gf, gr, name in zip(g_fused, g_ref, ("prv", "nxt", "flow")):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4,
+            err_msg=f"grad mismatch for {name}")
