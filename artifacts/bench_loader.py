@@ -78,7 +78,7 @@ def main():
         t0 = time.perf_counter()
         make_fake_sintel(root)
         shards = convert_to_tfrecords(
-            root / "training", shards_dir, "final", n_shards=8)
+            root, shards_dir, "final", n_shards=8)
         log(f"fake sintel + {len(shards)} shards in "
             f"{time.perf_counter() - t0:.1f}s")
     shards = sorted(shards_dir.glob("*.tfrecord"))

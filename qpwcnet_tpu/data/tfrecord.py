@@ -157,7 +157,12 @@ def make_sintel_example(prv_png: bytes, nxt_png: bytes,
 def _decode_png(data: bytes) -> np.ndarray:
     from PIL import Image
 
-    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    img = Image.open(io.BytesIO(data))
+    # convert() on an already-RGB image still copies the whole bitmap
+    # (~30% of the sample decode budget on a 436x1024 frame); skip it.
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img)
 
 
 def parse_sintel_example(record: bytes):

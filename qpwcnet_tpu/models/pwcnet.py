@@ -363,17 +363,69 @@ def _init_variables(model, rng, init_hw):
     # identical either way.
     init_model = (model.clone(cv_impl="xla")
                   if hasattr(model, "cv_impl") else model)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        variables = init_model.init(
-            jax.device_put(rng, cpu), jax.device_put(dummy, cpu),
-            train=False)
+    variables = _cached_init(init_model, rng, dummy)
     if jax.default_backend() != "cpu":
         # local_devices, not devices: in multi-host runs (parallel/
         # multihost.py) jax.devices() is the GLOBAL list, and on
         # process_index>0 entry [0] is not addressable — device_put
         # would raise at startup (ADVICE r4).
         variables = jax.device_put(variables, jax.local_devices()[0])
+    return variables
+
+
+def _cached_init(init_model, rng, dummy):
+    """Eager CPU init with a DISK cache of the finished tree.
+
+    The eager init costs ~20-70 s of per-process CPU (this host's
+    XLA:CPU AOT cache never serves — machine-feature mismatch — so every
+    primitive recompiles each process). The tree is a deterministic
+    function of (module config, rng, dummy shape): cache it under a key
+    of exactly those, so every bench/app/test process after the first
+    skips the init entirely. Delete $QPWCNET_TPU_INIT_CACHE (default
+    ~/.cache/qpwcnet_tpu_init) to invalidate, e.g. after changing an
+    init scheme; the key includes the module repr, which covers params-
+    affecting config (filters, quant mode, head init flags...)."""
+    import hashlib
+    import os
+    import pickle
+
+    cache_dir = os.environ.get(
+        "QPWCNET_TPU_INIT_CACHE",
+        os.path.expanduser("~/.cache/qpwcnet_tpu_init"))
+    try:
+        rng_bits = jax.random.key_data(rng)  # new-style typed key
+    except TypeError:
+        rng_bits = rng                       # legacy raw uint32 key
+    import numpy as np
+    key_src = repr((
+        type(init_model).__name__,
+        init_model,          # flax modules repr their full config
+        np.asarray(rng_bits).tolist(),
+        dummy.shape,
+    )).encode()
+    key = hashlib.sha256(key_src).hexdigest()[:24]
+    path = os.path.join(cache_dir, f"{key}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass  # corrupt cache entry: fall through and rewrite
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = init_model.init(
+            jax.device_put(rng, cpu), jax.device_put(dummy, cpu),
+            train=False)
+    variables = jax.device_get(variables)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(variables, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # caching is best-effort
     return variables
 
 
