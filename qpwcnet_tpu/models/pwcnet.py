@@ -60,7 +60,16 @@ class Encoder(nn.Module):
     # First s2d_stages stages run their stride-2 conv in the exact
     # space-to-depth spelling (blocks.DownConv.s2d) — the fix for the
     # measured GB-scale relayout copies around the low-C stem convs.
+    # MEASURED SLOWER (DESIGN.md round 5); kept as the documented
+    # negative result. Default 0.
     s2d_stages: int = 0
+    # First stem_stages stages run as ONE fused Pallas kernel each
+    # (ops/pallas/stem_kernel.py): compact (C, flat-spatial) VMEM
+    # layout + im2col MXU dots — the fix that dodges XLA:TPU's
+    # lane-padded conv layouts entirely instead of re-spelling the
+    # convs. Float path only (the int8 chain keeps its own conv);
+    # train=True uses the custom-VJP wrapper (exact unfused gradients).
+    stem_stages: int = 0
 
     def setup(self):
         self.stages = [
@@ -83,8 +92,24 @@ class Encoder(nn.Module):
         # handed to the decoder / cost volume / warp are dequantized
         # views (those consumers are float ops).
         chain_q = _int8_mode(self.quant)
-        for stage in self.stages:
-            f = stage(f, train=train, emit_qtensor=chain_q)
+        for i, stage in enumerate(self.stages):
+            if (i < self.stem_stages and not chain_q
+                    and not self.is_initializing()):
+                from qpwcnet_tpu.ops.pallas.stem_kernel import (
+                    downconv_stage_pallas,
+                    downconv_stage_trainable,
+                )
+
+                # Same param subtree the QConv path trains — the fused
+                # kernel reads it without calling the stage module, so
+                # checkpoints are identical in both modes.
+                p = self.get_variable("params", f"stage_{i}")
+                op = (downconv_stage_trainable if train
+                      else downconv_stage_pallas)
+                f = op(f, p, dtype=self.dtype,
+                       interpret=jax.default_backend() != "tpu")
+            else:
+                f = stage(f, train=train, emit_qtensor=chain_q)
             feats.append(dequantize(f, self.dtype) if chain_q else f)
         return feats
 
@@ -142,6 +167,15 @@ class Flower(nn.Module):
         if isinstance(self.cv_impl, tuple):
             assert len(self.cv_impl) == self.num_levels + 1, self.cv_impl
             return self.cv_impl[i]
+        if self.cv_impl == "fast":
+            # Measured per-level dispatch (artifacts/ab_cv_dispatch.py,
+            # round 5, 448x1024 b8): the fused warp+correlate kernel
+            # wins ONLY at the finest level in-model (57.8 ms vs 70.8
+            # exact); fusing the coarser levels too COSTS ~9 ms
+            # (fused-everywhere: 66.9 ms) — at coarse levels the
+            # kernel's (2w+2)^2 VPU tap work exceeds the small
+            # warp+cost-volume HBM round trip it saves.
+            return "fused" if i == self.num_levels else "auto"
         return self.cv_impl
 
     def setup(self):
@@ -186,6 +220,8 @@ class PWCFlowNet(nn.Module):
     residual: bool = False
     # See Encoder.s2d_stages (exact s2d spelling of the stem convs).
     s2d_stages: int = 0
+    # See Encoder.stem_stages (fused Pallas stem kernel).
+    stem_stages: int = 0
     # Run the siamese encoder/decoder ONCE on the 2B-stacked [prv; nxt]
     # batch instead of twice on B (numerically exact: the encoder and
     # decoder are normalizer-free, pwcnet.py:142-146, so no batch
@@ -195,7 +231,8 @@ class PWCFlowNet(nn.Module):
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant,
-                               s2d_stages=self.s2d_stages)
+                               s2d_stages=self.s2d_stages,
+                               stem_stages=self.stem_stages)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
                              quant=self.quant, spatial=self.spatial,
@@ -243,6 +280,8 @@ class PWCInterpolator(nn.Module):
     residual: bool = False
     # See Encoder.s2d_stages (exact s2d spelling of the stem convs).
     s2d_stages: int = 0
+    # See Encoder.stem_stages (fused Pallas stem kernel).
+    stem_stages: int = 0
     # Batch-fuse the siamese pyramid (exact — no normalizers) AND the
     # two Flower directions into single 2B calls. The shared Flower is
     # the interp step's dominant cost; one 2B pass halves its op/launch
@@ -255,7 +294,8 @@ class PWCInterpolator(nn.Module):
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant,
-                               s2d_stages=self.s2d_stages)
+                               s2d_stages=self.s2d_stages,
+                               stem_stages=self.stem_stages)
         self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
                              quant=self.quant,
@@ -441,6 +481,7 @@ def build_flow_net(
     residual: bool = False,
     fuse_batch: bool = True,
     s2d_stages: int = 0,
+    stem_stages: int = 0,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
@@ -457,9 +498,15 @@ def build_flow_net(
     Returns (module, variables) where variables = {'params', 'batch_stats'}.
     """
     del input_hw
+    if stem_stages and (quant is not None or spatial is not None):
+        raise ValueError(
+            "stem_stages requires the float path (no quant) and no "
+            "spatial sharding — the fused stem kernel is not "
+            "shard_map-aware and the int8 chain keeps its own conv")
     kw = dict(dtype=dtype, cv_impl=cv_impl, quant=quant,
               head_scale=head_scale, residual=residual,
-              fuse_batch=fuse_batch, s2d_stages=s2d_stages)
+              fuse_batch=fuse_batch, s2d_stages=s2d_stages,
+              stem_stages=stem_stages)
     init_model = PWCFlowNet(**kw)
     variables = _init_variables(init_model, rng, init_hw)
     model = (init_model if spatial is None else
@@ -477,10 +524,14 @@ def build_interpolator(
     head_scale: str = "diag",
     residual: bool = False,
     fuse_batch: bool = True,
+    stem_stages: int = 0,
 ):
     """Construct a PWCInterpolator and initialize its variables."""
     del input_hw
+    if stem_stages and quant is not None:
+        raise ValueError("stem_stages requires the float path")
     model = PWCInterpolator(dtype=dtype, cv_impl=cv_impl, quant=quant,
                             head_scale=head_scale, residual=residual,
-                            fuse_batch=fuse_batch)
+                            fuse_batch=fuse_batch,
+                            stem_stages=stem_stages)
     return model, _init_variables(model, rng, init_hw)

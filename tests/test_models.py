@@ -231,3 +231,15 @@ def test_cv_impl_fused_inference_matches_xla(flow_setup):
     b = fused.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=0, atol=1e-4)
+
+
+def test_cv_impl_fast_preset_resolution():
+    """cv_impl='fast' resolves to the measured-optimal per-level
+    dispatch (artifacts/ab_cv_dispatch.py round 5): fused ONLY at the
+    finest UpFlow level, 'auto' (pallas-on-TPU) everywhere else."""
+    from qpwcnet_tpu.models.pwcnet import Flower
+
+    fl = Flower(cv_impl="fast")
+    assert fl._impl_at(0) == "auto"          # coarsest FlowBlock
+    assert all(fl._impl_at(i) == "auto" for i in range(1, fl.num_levels))
+    assert fl._impl_at(fl.num_levels) == "fused"
