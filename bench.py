@@ -169,6 +169,21 @@ def check_compiled_kernels():
         fwd_err, dprv_err, dnxt_err)
     RESULT["pallas_equality_max_err"] = float(max(fwd_err, dprv_err, dnxt_err))
 
+    # Stem kernel (round 5): Mosaic-compiled fused DownConv stage vs the
+    # exact conv composition, in f32 so the tolerance is meaningful.
+    from qpwcnet_tpu.models.blocks import DownConv
+    from qpwcnet_tpu.ops.pallas.stem_kernel import downconv_stage_pallas
+
+    x = jax.random.normal(k1, (2, 64, 128, 3), jnp.float32)
+    m = DownConv(16, use_normalizer=False, dtype=jnp.float32)
+    v = m.init(jax.random.key(3), x)
+    ref = m.apply(v, x)
+    got = downconv_stage_pallas(x, v["params"], dtype=jnp.float32)
+    stem_err = float(jnp.max(jnp.abs(ref - got)))
+    log(f"compiled stem-kernel equality (f32): {stem_err:.2e}")
+    assert stem_err < 1e-4, stem_err
+    RESULT["stem_equality_max_err"] = stem_err
+
 
 def bench_train_steps(dtype):
     """Configs 3-4 of BASELINE.json: supervised flow train step
@@ -228,7 +243,9 @@ def bench_train_steps(dtype):
 def bench_int8(hw, batch):
     """Config 5 of BASELINE.json: true-int8 inference (QAT deployment
     path; int8 x int8 -> int32 MXU convs end-to-end incl. the decoder's
-    transpose convs)."""
+    transpose convs). Also measures int8 + cv_impl='fast' (VERDICT r4
+    task 4: the fused warp+correlate kernel removes exactly the float
+    warp/cost-volume boundary the int8 account blames)."""
     import jax
     import jax.numpy as jnp
     from qpwcnet_tpu.models import build_flow_net
@@ -237,39 +254,48 @@ def bench_int8(hw, batch):
     # bf16 inter-conv activations: the model is HBM-bound and int8
     # quantization error dwarfs bf16 rounding, so f32 activations would
     # just double the bandwidth.
-    model, variables = build_flow_net(
+    base_model, variables = build_flow_net(
         jax.random.key(0), hw, dtype=jnp.bfloat16,
         quant=QuantConfig(mode="int8"))
 
-    # One jitted dispatch per iteration incl. the chain feedback (the
-    # x*1.001 term keeps the chain evolving even if out == 0 from the
-    # zero-init flow heads — otherwise identical calls hit the tunnel
-    # cache).
-    @jax.jit
-    def chained(variables, x):
-        out = model.apply(variables, x, train=False)
-        x2 = x * 1.001 + 1e-2 * jnp.concatenate([out, out, out],
-                                                axis=-1)
-        return x2, jnp.sum(x2[0, 0, :2])
-
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.uniform(
-        -0.5, 0.5, (batch, hw[0], hw[1], 6)).astype(np.float32))
-    t0 = time.perf_counter()
-    x, s = chained(variables, x)
-    jax.block_until_ready(x)
-    log(f"int8: compile+first-run {time.perf_counter() - t0:.1f}s")
-    best_dt = float("inf")
-    for w in range(4):
-        n_iter = 2 if w == 0 else 6
+    for name, model, min_rem in (
+        ("int8", base_model, 60.0),
+        ("int8_fused", base_model.clone(cv_impl="fast"), 120.0),
+    ):
+        if remaining() < min_rem:
+            log(f"{name}: SKIPPED ({remaining():.0f}s left)")
+            continue
+
+        # One jitted dispatch per iteration incl. the chain feedback
+        # (the x*1.001 term keeps the chain evolving even if out == 0
+        # from the zero-init flow heads — otherwise identical calls hit
+        # the tunnel cache).
+        @jax.jit
+        def chained(variables, x, _m=model):
+            out = _m.apply(variables, x, train=False)
+            x2 = x * 1.001 + 1e-2 * jnp.concatenate([out, out, out],
+                                                    axis=-1)
+            return x2, jnp.sum(x2[0, 0, :2])
+
+        x = jnp.asarray(rng.uniform(
+            -0.5, 0.5, (batch, hw[0], hw[1], 6)).astype(np.float32))
         t0 = time.perf_counter()
-        for _ in range(n_iter):
-            x, s = chained(variables, x)
-        float(s)  # host readout = the only real sync
-        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iter)
-    pairs_s = batch / best_dt
-    log(f"int8 inference: {best_dt * 1e3:.2f} ms -> {pairs_s:.1f} pairs/s")
-    RESULT["int8_pairs_per_s"] = round(pairs_s, 2)
+        x, s = chained(variables, x)
+        jax.block_until_ready(x)
+        log(f"{name}: compile+first-run {time.perf_counter() - t0:.1f}s")
+        best_dt = float("inf")
+        for w in range(4):
+            n_iter = 2 if w == 0 else 6
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                x, s = chained(variables, x)
+            float(s)  # host readout = the only real sync
+            best_dt = min(best_dt, (time.perf_counter() - t0) / n_iter)
+        pairs_s = batch / best_dt
+        log(f"{name} inference: {best_dt * 1e3:.2f} ms -> "
+            f"{pairs_s:.1f} pairs/s")
+        RESULT[f"{name}_pairs_per_s"] = round(pairs_s, 2)
 
 
 def main():
@@ -294,7 +320,14 @@ def main():
         f"compute_dtype={dtype.__name__} budget={_BUDGET_S:.0f}s")
 
     # ----- HEADLINE stage: runs first, before any gate or extra --------
-    model, variables = build_flow_net(jax.random.key(0), hw, dtype=dtype)
+    # stem_stages=2: the fused Pallas encoder-stem kernel (round 5,
+    # ops/pallas/stem_kernel.py) — numerically the SAME computation as
+    # the conv path (equality tests + on-TPU probe in
+    # artifacts/ab_stem.py), so the headline stays the exact-semantics
+    # path. Measured: 70.8 ms exact-conv -> 65.5 ms with the stem.
+    stem = 2 if jax.default_backend() == "tpu" else 0
+    model, variables = build_flow_net(jax.random.key(0), hw, dtype=dtype,
+                                      stem_stages=stem)
 
     # Timed with a serial output->input dependency chain: each step's
     # input derives from the previous step's flow. This defeats both
@@ -388,10 +421,13 @@ def main():
             RESULT["mfu_vs_v5e_peak"] = round(mfu, 4)
 
     def fused_headline():
-        # North-star fast path (BASELINE.json): cv_impl='fused' runs
-        # the warp+correlate of every UpFlow level in one VMEM-resident
-        # Pallas kernel (window-warp approximation, models/blocks.py).
-        fmodel = model.clone(cv_impl="fused")
+        # North-star fast path (BASELINE.json): cv_impl='fast' — the
+        # fused warp+correlate Pallas kernel at the FINEST level only
+        # (measured per-level dispatch, artifacts/ab_cv_dispatch.py:
+        # fused-everywhere 66.9 ms, fused-finest-only 57.8 ms on the
+        # conv-stem model) — on top of the stem-kernel headline model.
+        # Window-warp approximation at that level (models/blocks.py).
+        fmodel = model.clone(cv_impl="fast")
 
         @jax.jit
         def fchained(variables, x):

@@ -400,9 +400,16 @@ def _init_variables(model, rng, init_hw):
     dummy = jnp.zeros((1, init_hw[0], init_hw[1], 6), jnp.float32)
     # The XLA cost volume for the init trace: Mosaic kernels can't lower
     # for CPU, and the cost volume is parameter-free so the init tree is
-    # identical either way.
-    init_model = (model.clone(cv_impl="xla")
-                  if hasattr(model, "cv_impl") else model)
+    # identical either way. stem_stages likewise shares the exact param
+    # tree (the stem kernel READS the QConv params) — normalize it to 0
+    # so the init disk cache serves every flag combination from one
+    # entry.
+    init_kw = {}
+    if hasattr(model, "cv_impl"):
+        init_kw["cv_impl"] = "xla"
+    if hasattr(model, "stem_stages"):
+        init_kw["stem_stages"] = 0
+    init_model = model.clone(**init_kw) if init_kw else model
     variables = _cached_init(init_model, rng, dummy)
     if jax.default_backend() != "cpu":
         # local_devices, not devices: in multi-host runs (parallel/
