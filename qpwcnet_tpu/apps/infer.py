@@ -28,6 +28,11 @@ class Settings:
     width: int = 512
     n: int = 4                 # number of examples
     out_dir: str = "/tmp/qpwcnet_tpu/infer"
+    # Measured-fastest TPU inference config (round 5, DESIGN.md):
+    # bf16 compute + fused Pallas encoder stem (exact semantics) +
+    # fused warp+correlate at the finest level (window-warp
+    # approximation there). 151.8 vs 113.0 pairs/s at 448x1024 b8.
+    fast: bool = False
 
 
 def _save(path, arr01):
@@ -48,8 +53,16 @@ def main(cfg: Settings):
     out_dir = Path(cfg.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    fast_kw = {}
+    if cfg.fast:
+        if jax.default_backend() == "tpu":
+            fast_kw = dict(dtype=jnp.bfloat16, cv_impl="fast",
+                           stem_stages=2)
+        else:
+            print("--fast ignored off-TPU (the Pallas kernels would "
+                  "run in interpret mode)", file=sys.stderr)
     model, variables = build_flow_net(
-        jax.random.key(0), (cfg.height, cfg.width))
+        jax.random.key(0), (cfg.height, cfg.width), **fast_kw)
     if cfg.load_ckpt:
         state = create_flow_train_state(model, variables)
         mgr = CheckpointManager(cfg.load_ckpt)
