@@ -185,10 +185,20 @@ def _stage_impl(x, ka, ba, kaa, baa, kb, bb, dtype_name: str,
     hs, w = h // 2, w_in // 2
     co = ka.shape[-1]
     assert kaa.shape == (3, 3, co, co) and kb.shape == (3, 3, co, co)
-    wv = w + 2
+    # Mosaic rejects HBM->VMEM DMA slices whose minor dim is not a
+    # multiple of the 128-lane tiling (caught by the bench equality
+    # gate at W=64; interpret mode does not enforce it). Run the whole
+    # kernel at a lane-aligned working width: the padded input columns
+    # are zeros, the masks (built from the REAL w) zero every computed
+    # value at col >= w after each conv, so the zero-pad SAME semantics
+    # are preserved exactly; the output is trimmed at the end.
+    wp = _round_up(w, 128)
+    wv = wp + 2
 
     c_pad = _round_up(4 * c_in, 16)
     xp = _phase_input(x.astype(dtype), c_pad)
+    if wp != w:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
 
     tr = tile_rows
     t = max(1, -(-hs // tr))
@@ -237,13 +247,13 @@ def _stage_impl(x, ka, ba, kaa, baa, kb, bb, dtype_name: str,
                 r0=r0, lf1=lf1, lf2=lf2, lf3=lf3)
 
     def kernel_fn(*refs):
-        return _stem_kernel(*refs, tr=tr, w=w, geom=geom)
+        return _stem_kernel(*refs, tr=tr, w=wp, geom=geom)
 
     const = lambda *_: (0, 0)  # noqa: E731
     const3 = lambda bi, ti: (ti, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel_fn,
-        out_shape=jax.ShapeDtypeStruct((b, co, hp, w), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, co, hp, wp), dtype),
         grid=(b, t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # x
@@ -264,11 +274,11 @@ def _stage_impl(x, ka, ba, kaa, baa, kb, bb, dtype_name: str,
                          memory_space=pltpu.VMEM),              # m3
         ],
         out_specs=pl.BlockSpec(
-            (1, co, tr, w), lambda bi, ti: (bi, 0, ti, 0),
+            (1, co, tr, wp), lambda bi, ti: (bi, 0, ti, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((c_pad, rs, w), dtype),       # src
+            pltpu.VMEM((c_pad, rs, wp), dtype),      # src
             pltpu.VMEM((c_pad, lf0), dtype),         # flat0
             pltpu.VMEM((4 * c_pad, lf1), dtype),     # imcol1
             pltpu.VMEM((co, lf1), dtype),            # flat1
@@ -281,7 +291,7 @@ def _stage_impl(x, ka, ba, kaa, baa, kb, bb, dtype_name: str,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, k1, b1, m1a, k2, b2, m2a, k3, b3, m3a)
-    return _to_hwc(out[:, :, :hs, :])
+    return _to_hwc(out[:, :, :hs, :w])
 
 
 def downconv_stage_pallas(

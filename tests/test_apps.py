@@ -195,9 +195,15 @@ def test_train_flow_qat_interrupt_resume(tmp_path):
     import jax
 
     def load(run_root):
+        from qpwcnet_tpu.apps.train_flow import _make_tx
+
         model, variables = build_flow_net(
             jax.random.key(0), (32, 64), quant=QuantConfig())
-        state = create_flow_train_state(model, variables)
+        # Restore with the SAME optimizer chain the app used (synthetic
+        # mode resolves to the 'plain' 2-element chain) — orbax rejects
+        # an opt_state structure mismatch against the on-disk tree.
+        state = create_flow_train_state(model, variables,
+                                        tx=_make_tx("plain", 1e-4))
         mgr = CheckpointManager(Path(run_root) / "000" / "ckpt")
         state = mgr.restore(state)
         mgr.close()
