@@ -30,6 +30,17 @@ model, so int8's 2x compression applies only to a minority of the
 traffic while every chain boundary still pays a requant epilogue.
 int8 here is the deployment-artifact semantics (QAT-calibrated,
 TFLite-parity, convert_quant.py), not a speedup over bf16.
+
+ROUND-5 EXTENSION (VERDICT r4 task 4): combining int8 with the fused
+warp+correlate kernel at the finest level (cv_impl='fast') removes
+exactly the warped-feature float round-trip this account blames —
+measured int8+fused = 112.5 pairs/s vs int8 95.6 (+18%), confirming
+the attribution. It ties the round-4 bf16 exact headline (112.6) but
+the round-5 bf16 paths moved too (stem-kernel exact 122.5, bf16+fast
+151.8), so the conclusion stands: int8 remains the deployment
+artifact, bf16 the throughput path. The stem kernel is float-only
+(stem_stages rejects quant), so int8 also keeps the conv-stem layout
+waste the float path no longer pays.
 """
 
 from __future__ import annotations
