@@ -294,11 +294,20 @@ def _stage_impl(x, ka, ba, kaa, baa, kb, bb, dtype_name: str,
     return _to_hwc(out[:, :, :hs, :w])
 
 
+def _default_tile_rows() -> int:
+    """Row-tile default, overridable via QPWCNET_STEM_TILE for layout
+    experiments (static arg: each value is a separate compile). 32 was
+    A/B-equal to 64/112 on the 448x1024 headline (artifacts/ab_stem)."""
+    import os
+
+    return int(os.environ.get("QPWCNET_STEM_TILE", "32"))
+
+
 def downconv_stage_pallas(
     x: jax.Array,
     params: dict,
     dtype=jnp.bfloat16,
-    tile_rows: int = 32,
+    tile_rows: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused DownConv stage forward.
@@ -322,7 +331,8 @@ def downconv_stage_pallas(
         params["conv_aa"]["kernel"], params["conv_aa"]["bias"],
         params["conv_b"]["kernel"], params["conv_b"]["bias"],
         dtype_name=jnp.dtype(dtype).name,
-        tile_rows=tile_rows, interpret=interpret,
+        tile_rows=tile_rows or _default_tile_rows(),
+        interpret=interpret,
     )
 
 
@@ -366,12 +376,13 @@ def downconv_stage_trainable(
     x: jax.Array,
     params: dict,
     dtype=jnp.bfloat16,
-    tile_rows: int = 32,
+    tile_rows: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """:func:`downconv_stage_pallas` with a custom VJP (exact unfused
     composition's gradients, warp recompute-style)."""
-    return _trainable_stage(jnp.dtype(dtype).name, tile_rows,
+    return _trainable_stage(jnp.dtype(dtype).name,
+                            tile_rows or _default_tile_rows(),
                             interpret)(
         x,
         params["conv_a"]["kernel"], params["conv_a"]["bias"],
