@@ -323,3 +323,42 @@ def test_int8_bundle_per_channel_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["of/dw"].in_amax, amax, rtol=1e-6)
     np.testing.assert_array_equal(
         loaded["of/dw"].kernel_i8, conv.kernel_i8)
+
+
+@pytest.mark.slow
+def test_int8_fast_dispatch_runs():
+    """int8 execution composed with cv_impl='fast' (the bench's
+    int8_fused deployment config): the fused warp+correlate kernel at
+    the finest level consumes the DEQUANTIZED float features the int8
+    encoder chain emits. Interpret-mode Pallas on CPU (slow)."""
+    import dataclasses
+
+    from qpwcnet_tpu.models import PWCFlowNet, build_flow_net
+    from qpwcnet_tpu.train import (
+        create_flow_train_state, make_flow_train_step)
+
+    quant = QuantConfig()
+    model, variables = build_flow_net(
+        jax.random.key(0), (32, 64), cv_impl="xla", quant=quant)
+    state = create_flow_train_state(model, variables)
+    step = jax.jit(make_flow_train_step())
+    rng = np.random.RandomState(0)
+    batch = {
+        "ims": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (1, 32, 64, 6)).astype(np.float32)),
+        "flo": jnp.zeros((1, 32, 64, 2), jnp.float32),
+    }
+    for _ in range(2):
+        state, _ = step(state, batch)
+
+    vs = {"params": state.params, "batch_stats": state.batch_stats,
+          "quant_stats": state.quant_stats}
+    int8q = dataclasses.replace(quant, mode="int8")
+    ref = PWCFlowNet(cv_impl="xla", quant=int8q).apply(
+        vs, batch["ims"], train=False)
+    fast = PWCFlowNet(cv_impl="fast", quant=int8q).apply(
+        vs, batch["ims"], train=False)
+    assert np.isfinite(np.asarray(fast)).all()
+    # zero-flow init => the window clamp is inert; paths must agree.
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=0, atol=1e-3)
