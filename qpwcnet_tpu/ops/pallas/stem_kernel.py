@@ -296,8 +296,10 @@ def _stage_impl(x, ka, ba, kaa, baa, kb, bb, dtype_name: str,
 
 def _default_tile_rows() -> int:
     """Row-tile default, overridable via QPWCNET_STEM_TILE for layout
-    experiments (static arg: each value is a separate compile). 32 was
-    A/B-equal to 64/112 on the 448x1024 headline (artifacts/ab_stem)."""
+    experiments (static arg: each value is a separate compile).
+    Measured: 112 is A/B-equal to 32 on the 448x1024 headline (65.31
+    vs 65.30 ms, artifacts/ab_stem) — the halo-recompute fraction is
+    not the binding term — so the VMEM-lighter 32 stays default."""
     import os
 
     return int(os.environ.get("QPWCNET_STEM_TILE", "32"))
