@@ -29,6 +29,12 @@ VARIANTS = {
     "stem2": dict(stem_stages=2),
     "stem3": dict(stem_stages=3),
     "stem2_fast": dict(stem_stages=2, cv_impl="fast"),
+    # round-5 tail: fused Pallas transpose-conv for the decoder's
+    # trailing low-C stages (ops/pallas/upconv_kernel.py).
+    "stem2_up1": dict(stem_stages=2, upconv_stages=1),
+    "stem2_up2": dict(stem_stages=2, upconv_stages=2),
+    "stem2_up2_fast": dict(stem_stages=2, upconv_stages=2,
+                           cv_impl="fast"),
 }
 
 

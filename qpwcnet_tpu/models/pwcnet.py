@@ -121,6 +121,11 @@ class Decoder(nn.Module):
     filters: Sequence[int] = DECODER_FILTERS
     dtype: Any = jnp.float32
     quant: QuantConfig | None = None
+    # Last upconv_stages stages run as the fused Pallas transpose-conv
+    # kernel (ops/pallas/upconv_kernel.py) — the trailing stages emit
+    # C=32/16 maps that XLA lane-pads, same pathology as the encoder
+    # stem. Float path only; train=True uses the exact-VJP wrapper.
+    upconv_stages: int = 0
 
     def setup(self):
         self.stages = [
@@ -133,8 +138,23 @@ class Decoder(nn.Module):
         f = encs[-1]
         decs = []
         i = -2
-        for stage in self.stages:
-            f = stage(f, update_stats=train)
+        n = len(self.stages)
+        for k, stage in enumerate(self.stages):
+            if (n - k <= self.upconv_stages
+                    and self.quant is None
+                    and not self.is_initializing()):
+                from qpwcnet_tpu.ops.pallas.upconv_kernel import (
+                    upconv_stage_pallas,
+                    upconv_stage_trainable,
+                )
+
+                p = self.get_variable("params", f"stage_{k}")
+                op = (upconv_stage_trainable if train
+                      else upconv_stage_pallas)
+                f = op(f, p, dtype=self.dtype,
+                       interpret=jax.default_backend() != "tpu")
+            else:
+                f = stage(f, update_stats=train)
             f = jnp.concatenate([f, encs[i].astype(f.dtype)], axis=-1)
             i -= 1
             decs.append(f)
@@ -222,6 +242,8 @@ class PWCFlowNet(nn.Module):
     s2d_stages: int = 0
     # See Encoder.stem_stages (fused Pallas stem kernel).
     stem_stages: int = 0
+    # See Decoder.upconv_stages (fused Pallas transpose-conv kernel).
+    upconv_stages: int = 0
     # Run the siamese encoder/decoder ONCE on the 2B-stacked [prv; nxt]
     # batch instead of twice on B (numerically exact: the encoder and
     # decoder are normalizer-free, pwcnet.py:142-146, so no batch
@@ -233,7 +255,8 @@ class PWCFlowNet(nn.Module):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant,
                                s2d_stages=self.s2d_stages,
                                stem_stages=self.stem_stages)
-        self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
+        self.decoder = Decoder(dtype=self.dtype, quant=self.quant,
+                               upconv_stages=self.upconv_stages)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
                              quant=self.quant, spatial=self.spatial,
                              head_scale=self.head_scale,
@@ -282,6 +305,8 @@ class PWCInterpolator(nn.Module):
     s2d_stages: int = 0
     # See Encoder.stem_stages (fused Pallas stem kernel).
     stem_stages: int = 0
+    # See Decoder.upconv_stages (fused Pallas transpose-conv kernel).
+    upconv_stages: int = 0
     # Batch-fuse the siamese pyramid (exact — no normalizers) AND the
     # two Flower directions into single 2B calls. The shared Flower is
     # the interp step's dominant cost; one 2B pass halves its op/launch
@@ -296,7 +321,8 @@ class PWCInterpolator(nn.Module):
         self.encoder = Encoder(dtype=self.dtype, quant=self.quant,
                                s2d_stages=self.s2d_stages,
                                stem_stages=self.stem_stages)
-        self.decoder = Decoder(dtype=self.dtype, quant=self.quant)
+        self.decoder = Decoder(dtype=self.dtype, quant=self.quant,
+                               upconv_stages=self.upconv_stages)
         self.flower = Flower(dtype=self.dtype, cv_impl=self.cv_impl,
                              quant=self.quant,
                              head_scale=self.head_scale,
@@ -409,6 +435,8 @@ def _init_variables(model, rng, init_hw):
         init_kw["cv_impl"] = "xla"
     if hasattr(model, "stem_stages"):
         init_kw["stem_stages"] = 0
+    if hasattr(model, "upconv_stages"):
+        init_kw["upconv_stages"] = 0
     init_model = model.clone(**init_kw) if init_kw else model
     variables = _cached_init(init_model, rng, dummy)
     if jax.default_backend() != "cpu":
@@ -489,6 +517,7 @@ def build_flow_net(
     fuse_batch: bool = True,
     s2d_stages: int = 0,
     stem_stages: int = 0,
+    upconv_stages: int = 0,
 ):
     """Construct a PWCFlowNet and initialize its variables.
 
@@ -505,7 +534,8 @@ def build_flow_net(
     Returns (module, variables) where variables = {'params', 'batch_stats'}.
     """
     del input_hw
-    if stem_stages and (quant is not None or spatial is not None):
+    if (stem_stages or upconv_stages) and (
+            quant is not None or spatial is not None):
         raise ValueError(
             "stem_stages requires the float path (no quant) and no "
             "spatial sharding — the fused stem kernel is not "
@@ -513,7 +543,7 @@ def build_flow_net(
     kw = dict(dtype=dtype, cv_impl=cv_impl, quant=quant,
               head_scale=head_scale, residual=residual,
               fuse_batch=fuse_batch, s2d_stages=s2d_stages,
-              stem_stages=stem_stages)
+              stem_stages=stem_stages, upconv_stages=upconv_stages)
     init_model = PWCFlowNet(**kw)
     variables = _init_variables(init_model, rng, init_hw)
     model = (init_model if spatial is None else
